@@ -1,0 +1,37 @@
+"""Model zoo: encoders, attention, fusion, DEER heads, and the complete model."""
+
+from tpu_deer.models.deer_model import (
+    CompleteDEERModel,
+    DEERModelConfig,
+    create_complete_deer_model,
+    count_parameters,
+)
+from tpu_deer.models.encoders import (
+    ModalityEncoder,
+    AudioSequenceEncoder,
+    VideoSequenceEncoder,
+    TextSequenceEncoder,
+)
+from tpu_deer.models.attention import (
+    MultiHeadAttention,
+    UncertaintyEstimator,
+    UncertaintyAwareAttention,
+    CrossModalAttention,
+)
+from tpu_deer.models.fusion import (
+    HierarchicalFusion,
+    HierarchicalMultimodalFusion,
+    AudioVisualFusion,
+    TrimodalFusion,
+    UncertaintyAwareGating,
+    AdaptiveFusionGating,
+    AttentionFusion,
+    BilinearFusion,
+    ConcatFusion,
+    create_fusion_module,
+)
+from tpu_deer.models.heads import (
+    DEERPredictionHead,
+    MultiDimensionalDEER,
+    UncertaintyCalibrationLayer,
+)

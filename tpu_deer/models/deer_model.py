@@ -1,0 +1,151 @@
+"""The flagship CompleteDEERModel: trimodal evidential VAD regression.
+
+Behavioral parity with reference complete_project.py:462-602, as one pure
+jittable flax module: three feature-level encoders → uncertainty-aware
+cross-modal attention → gated hierarchical fusion → three DEER evidence heads
+→ uncertainty calibration. ~12M parameters at the default config.
+
+The whole forward (and the training step wrapping it) compiles to a single
+XLA program: at seq-len-1 the attention degenerates into dense matmuls that
+XLA fuses end-to-end on the MXU; there is no host round-trip anywhere in the
+hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu_deer.core.nig import NIGParams
+from tpu_deer.models.attention import UncertaintyAwareAttention
+from tpu_deer.models.encoders import ModalityEncoder
+from tpu_deer.models.fusion import HierarchicalFusion
+from tpu_deer.models.heads import DEERPredictionHead, UncertaintyCalibrationLayer
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DEERModelConfig:
+    """Model hyperparameters — parity with complete_project.py:33-58 ModelConfig."""
+
+    audio_dim: int = 84
+    video_dim: int = 256
+    text_dim: int = 768
+    encoder_dim: int = 256
+    fusion_dim: int = 512
+    emotion_dims: int = 3
+    attention_heads: int = 8
+    encoder_layers: int = 3
+    dropout: float = 0.3
+    evidence_weight: float = 1.0
+    kl_weight: float = 0.1
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    gradient_clip: float = 1.0
+    dim_names: Sequence[str] = ("valence", "arousal", "dominance")
+    # TPU compute dtype for the dense path; params & NIG math stay float32.
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+class CompleteDEERModel(nn.Module):
+    """audio[B,84], video[B,256], text[B,768] → NIG VAD predictions + uncertainty."""
+
+    config: DEERModelConfig = DEERModelConfig()
+
+    @nn.compact
+    def __call__(self, audio, video, text, *, deterministic: bool = True):
+        cfg = self.config
+        dt = cfg.dtype
+        audio = audio.astype(dt)
+        video = video.astype(dt)
+        text = text.astype(dt)
+
+        enc = lambda name: ModalityEncoder(
+            cfg.encoder_dim, cfg.encoder_layers, cfg.dropout, dt, name=name
+        )
+        a = enc("audio_encoder")(audio, deterministic=deterministic)
+        v = enc("video_encoder")(video, deterministic=deterministic)
+        t = enc("text_encoder")(text, deterministic=deterministic)
+
+        attended = UncertaintyAwareAttention(
+            cfg.encoder_dim, cfg.attention_heads, dropout=0.1, dtype=dt,
+            name="uncertainty_attention",
+        )(a, v, t, deterministic=deterministic)
+
+        fused = HierarchicalFusion(
+            cfg.encoder_dim, cfg.fusion_dim, cfg.dropout, dt, name="fusion"
+        )(
+            attended["audio"],
+            attended["video"],
+            attended["text"],
+            deterministic=deterministic,
+        )
+
+        out: dict = {
+            "attention_weights": attended["attention_weights"],
+            "modality_uncertainties": attended["modality_uncertainties"],
+            "fused_features": fused,
+        }
+        mus, uncs = [], []
+        for name in cfg.dim_names:
+            head = DEERPredictionHead(
+                cfg.encoder_dim, cfg.dropout, output_dim=1, dtype=dt,
+                name=f"deer_head_{name}",
+            )(fused, deterministic=deterministic)
+            out[f"{name}_params"] = head["params"]
+            for k in (
+                "mu", "nu", "alpha", "beta",
+                "aleatoric_uncertainty", "epistemic_uncertainty", "uncertainty",
+            ):
+                out[f"{name}_{k}"] = head[k]
+            mus.append(head["mu"])
+            uncs.append(head["uncertainty"])
+
+        out["mu_all"] = jnp.concatenate(mus, axis=-1)
+        out["uncertainty_all"] = jnp.concatenate(uncs, axis=-1)
+        out["calibrated_uncertainty"] = UncertaintyCalibrationLayer(
+            cfg.emotion_dims, dtype=jnp.float32, name="calibration"
+        )(out["uncertainty_all"])
+        return out
+
+    def nig_params(self, outputs: dict) -> list[NIGParams]:
+        """Per-dimension NIGParams list, in config dim order (for the loss)."""
+        return [outputs[f"{n}_params"] for n in self.config.dim_names]
+
+
+def get_predictions_and_uncertainties(outputs: dict) -> tuple[jax.Array, jax.Array]:
+    """Convenience mirroring complete_project.py:590-602."""
+    return outputs["mu_all"], outputs["calibrated_uncertainty"]
+
+
+def count_parameters(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def create_complete_deer_model(
+    config: DEERModelConfig | None = None, seed: int = 42
+) -> tuple[CompleteDEERModel, Any]:
+    """Build + init the flagship model; returns (module, params).
+
+    Parity with complete_project.py:605-630 (factory with param counting —
+    callers can log `count_parameters(params)`).
+    """
+    config = config or DEERModelConfig()
+    model = CompleteDEERModel(config)
+    key = jax.random.PRNGKey(seed)
+    dummy = (
+        jnp.zeros((2, config.audio_dim)),
+        jnp.zeros((2, config.video_dim)),
+        jnp.zeros((2, config.text_dim)),
+    )
+    params = model.init(key, *dummy, deterministic=True)["params"]
+    return model, params

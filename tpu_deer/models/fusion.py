@@ -1,0 +1,332 @@
+"""Multimodal fusion zoo.
+
+Behavioral parity with the reference's two fusion stacks:
+  * HierarchicalFusion           — complete_project.py:306-366 (the gated
+    AV→trimodal fusion the flagship CompleteDEERModel uses)
+  * HierarchicalMultimodalFusion — fusion.py:35-185 (standalone two-stage
+    attention fusion with optional uncertainty gating)
+  * AudioVisualFusion            — fusion.py:188-271
+  * TrimodalFusion               — fusion.py:274-343
+  * UncertaintyAwareGating       — fusion.py:346-418 (the reference's
+    signature bug at fusion.py:148-150/384 is fixed here: uncertainties are
+    an explicit optional argument and the call sites agree)
+  * AdaptiveFusionGating         — fusion.py:421-498
+  * AttentionFusion              — fusion.py:501-526
+  * BilinearFusion               — fusion.py:529-554
+  * create_fusion_module factory — fusion.py:557-592
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpu_deer.models.attention import MultiHeadAttention
+from tpu_deer.models.layers import MLP
+
+Dtype = Any
+
+
+class HierarchicalFusion(nn.Module):
+    """Gated hierarchical fusion (complete_project.py:306-366).
+
+    av  = MLP(cat[audio, video])           (2-layer, LayerNorm inside)
+    tri = MLP(cat[av, text])
+    g   = sigmoid(Dense(cat[av, text]))
+    out = g * tri + (1 - g) * av
+    """
+
+    feature_dim: int = 256
+    fusion_dim: int = 512
+    dropout: float = 0.3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio, video, text, *, deterministic: bool = True):
+        def fusion_mlp(name):
+            # Dense → ReLU → Dropout → LayerNorm → Dense → ReLU
+            def apply(x):
+                h = nn.Dense(self.fusion_dim, dtype=self.dtype, name=f"{name}_in")(x)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+                h = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm")(h)
+                h = nn.Dense(self.fusion_dim, dtype=self.dtype, name=f"{name}_out")(h)
+                return nn.relu(h)
+
+            return apply
+
+        av = fusion_mlp("av_fusion")(jnp.concatenate([audio, video], axis=-1))
+        tri_in = jnp.concatenate([av, text], axis=-1)
+        gate = nn.sigmoid(
+            nn.Dense(self.fusion_dim, dtype=self.dtype, name="fusion_gate")(tri_in)
+        )
+        tri = fusion_mlp("trimodal_fusion")(tri_in)
+        return gate * tri + (1.0 - gate) * av
+
+
+class AudioVisualFusion(nn.Module):
+    """Symmetric cross-attention AV fusion (fusion.py:188-271)."""
+
+    audio_dim: int
+    video_dim: int
+    output_dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio, video, *, deterministic: bool = True):
+        a = nn.Dense(self.output_dim, dtype=self.dtype, name="audio_proj")(audio)
+        v = nn.Dense(self.output_dim, dtype=self.dtype, name="video_proj")(video)
+        a1, v1 = a[:, None, :], v[:, None, :]
+
+        a2v = MultiHeadAttention(
+            self.output_dim, self.num_heads, self.dropout, self.dtype, name="a2v"
+        )(a1, v1, v1, deterministic=deterministic)[:, 0]
+        v2a = MultiHeadAttention(
+            self.output_dim, self.num_heads, self.dropout, self.dtype, name="v2a"
+        )(v1, a1, a1, deterministic=deterministic)[:, 0]
+
+        fused = MLP(
+            [self.output_dim * 2, self.output_dim],
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="fuse_mlp",
+        )(jnp.concatenate([a2v, v2a], axis=-1), deterministic=deterministic)
+        # Attention weights summary for observability (mean gate per modality).
+        weights = nn.softmax(
+            nn.Dense(2, dtype=self.dtype, name="weight_head")(fused), axis=-1
+        )
+        return fused, weights
+
+
+class TrimodalFusion(nn.Module):
+    """AV + text as a 2-token sequence, self-attended, mean-pooled (fusion.py:274-343)."""
+
+    av_dim: int
+    text_dim: int
+    output_dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, av, text, *, deterministic: bool = True):
+        av_p = nn.Dense(self.output_dim, dtype=self.dtype, name="av_proj")(av)
+        t_p = nn.Dense(self.output_dim, dtype=self.dtype, name="text_proj")(text)
+        seq = jnp.stack([av_p, t_p], axis=1)  # [B, 2, D]
+        attended = MultiHeadAttention(
+            self.output_dim, self.num_heads, self.dropout, self.dtype, name="self_attn"
+        )(seq, seq, seq, deterministic=deterministic)
+        pooled = attended.mean(axis=1)
+        fused = MLP(
+            [self.output_dim, self.output_dim],
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="fuse_mlp",
+        )(pooled, deterministic=deterministic)
+        weights = nn.softmax(
+            nn.Dense(2, dtype=self.dtype, name="weight_head")(fused), axis=-1
+        )
+        return fused, weights
+
+
+class UncertaintyAwareGating(nn.Module):
+    """Softmax gate over modalities from features (+ optional uncertainties).
+
+    Fixes reference fusion.py:346-418's broken call signature: modalities are
+    a sequence and uncertainties an optional [B, M] array.
+    """
+
+    input_dims: Sequence[int]
+    hidden_dim: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modalities, uncertainties=None, *, deterministic: bool = True):
+        encoded = [
+            nn.relu(
+                nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"enc_{i}")(m)
+            )
+            for i, m in enumerate(modalities)
+        ]
+        gate_in = jnp.concatenate(encoded, axis=-1)
+        if uncertainties is not None:
+            gate_in = jnp.concatenate([gate_in, uncertainties], axis=-1)
+        logits = nn.Dense(len(modalities), dtype=self.dtype, name="gate")(gate_in)
+        if uncertainties is not None:
+            # Down-weight uncertain modalities before the softmax.
+            logits = logits - uncertainties
+        return nn.softmax(logits, axis=-1)
+
+
+class HierarchicalMultimodalFusion(nn.Module):
+    """Two-stage attention fusion with optional uncertainty gating (fusion.py:35-185)."""
+
+    audio_dim: int = 256
+    video_dim: int = 256
+    text_dim: int = 256
+    output_dim: int = 512
+    num_heads: int = 8
+    dropout: float = 0.1
+    use_uncertainty_gating: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, audio, video, text, uncertainties=None, *, deterministic: bool = True
+    ):
+        av, av_weights = AudioVisualFusion(
+            self.audio_dim,
+            self.video_dim,
+            self.output_dim,
+            self.num_heads,
+            self.dropout,
+            self.dtype,
+            name="av_fusion",
+        )(audio, video, deterministic=deterministic)
+
+        tri, tri_weights = TrimodalFusion(
+            self.output_dim,
+            self.text_dim,
+            self.output_dim,
+            self.num_heads,
+            self.dropout,
+            self.dtype,
+            name="trimodal_fusion",
+        )(av, text, deterministic=deterministic)
+
+        if self.use_uncertainty_gating:
+            gates = UncertaintyAwareGating(
+                (self.output_dim, self.output_dim),
+                dtype=self.dtype,
+                name="uncertainty_gating",
+            )([av, tri], uncertainties, deterministic=deterministic)
+            fused = gates[:, 0:1] * av + gates[:, 1:2] * tri
+        else:
+            fused = tri
+
+        out = nn.Dense(self.output_dim, dtype=self.dtype, name="out_proj")(fused)
+        out = nn.LayerNorm(dtype=self.dtype, name="out_norm")(out)
+        return {
+            "fused": out,
+            "av_attention": av_weights,
+            "trimodal_attention": tri_weights,
+        }
+
+
+class AttentionFusion(nn.Module):
+    """Project-all + learned scalar attention + weighted sum (fusion.py:501-526)."""
+
+    input_dims: Sequence[int]
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modalities, *, deterministic: bool = True):
+        projected = jnp.stack(
+            [
+                nn.Dense(self.output_dim, dtype=self.dtype, name=f"proj_{i}")(m)
+                for i, m in enumerate(modalities)
+            ],
+            axis=1,
+        )  # [B, M, D]
+        scores = nn.Dense(1, dtype=self.dtype, name="score")(
+            nn.tanh(projected)
+        )  # [B, M, 1]
+        weights = nn.softmax(scores, axis=1)
+        return jnp.sum(weights * projected, axis=1)
+
+
+class BilinearFusion(nn.Module):
+    """Bilinear interaction on the first two modalities + linear for the rest
+    (fusion.py:529-554)."""
+
+    input_dims: Sequence[int]
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modalities, *, deterministic: bool = True):
+        a, b = modalities[0], modalities[1]
+        # Bilinear form a^T W b implemented as an einsum over a 3D kernel.
+        w = self.param(
+            "bilinear_kernel",
+            nn.initializers.lecun_normal(),
+            (a.shape[-1], b.shape[-1], self.output_dim),
+        )
+        bias = self.param("bilinear_bias", nn.initializers.zeros, (self.output_dim,))
+        out = jnp.einsum("bi,ijk,bj->bk", a, w.astype(self.dtype), b) + bias
+        for i, m in enumerate(modalities[2:]):
+            out = out + nn.Dense(self.output_dim, dtype=self.dtype, name=f"lin_{i}")(m)
+        return out
+
+
+class ConcatFusion(nn.Module):
+    """Concatenate + MLP fallback (fusion.py:588-592 behavior)."""
+
+    input_dims: Sequence[int]
+    output_dim: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modalities, *, deterministic: bool = True):
+        x = jnp.concatenate(list(modalities), axis=-1)
+        return MLP(
+            [self.output_dim, self.output_dim],
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(x, deterministic=deterministic)
+
+
+class AdaptiveFusionGating(nn.Module):
+    """Learned softmax blend over {concat, attention, bilinear} strategies
+    (fusion.py:421-498)."""
+
+    input_dims: Sequence[int]
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modalities, *, deterministic: bool = True):
+        concat = ConcatFusion(self.input_dims, self.output_dim, dtype=self.dtype)(
+            modalities, deterministic=deterministic
+        )
+        attn = AttentionFusion(self.input_dims, self.output_dim, dtype=self.dtype)(
+            modalities, deterministic=deterministic
+        )
+        bilin = BilinearFusion(self.input_dims, self.output_dim, dtype=self.dtype)(
+            modalities, deterministic=deterministic
+        )
+        gate_in = jnp.concatenate(list(modalities), axis=-1)
+        weights = nn.softmax(
+            nn.Dense(3, dtype=self.dtype, name="strategy_gate")(gate_in), axis=-1
+        )
+        stacked = jnp.stack([concat, attn, bilin], axis=1)  # [B, 3, D]
+        return jnp.sum(weights[:, :, None] * stacked, axis=1)
+
+
+def create_fusion_module(
+    fusion_type: str,
+    input_dims: Sequence[int],
+    output_dim: int,
+    **kwargs,
+) -> nn.Module:
+    """Factory matching reference fusion.py:557-592 ('hierarchical' / 'attention' /
+    'bilinear' / 'adaptive' / concat fallback)."""
+    if fusion_type == "hierarchical":
+        a, v, t = input_dims
+        return HierarchicalMultimodalFusion(
+            audio_dim=a, video_dim=v, text_dim=t, output_dim=output_dim, **kwargs
+        )
+    if fusion_type == "attention":
+        return AttentionFusion(tuple(input_dims), output_dim, **kwargs)
+    if fusion_type == "bilinear":
+        return BilinearFusion(tuple(input_dims), output_dim, **kwargs)
+    if fusion_type == "adaptive":
+        return AdaptiveFusionGating(tuple(input_dims), output_dim, **kwargs)
+    return ConcatFusion(tuple(input_dims), output_dim, **kwargs)

@@ -1,0 +1,119 @@
+"""DEER prediction heads and uncertainty calibration.
+
+Behavioral parity:
+  * DEERPredictionHead          — complete_project.py:369-417 (per-dim 3-layer
+    evidence MLP → NIG params) and deer.py:30-108 (DEERLayer)
+  * MultiDimensionalDEER        — deer.py:198-266 (shared feature processor +
+    per-dim heads)
+  * UncertaintyCalibrationLayer — complete_project.py:420-459 (learned per-dim
+    temperature + shared MLP-sigmoid map; the per-dim Python loop of the
+    reference is vectorized into one batched pass here)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpu_deer.core.nig import NIGParams, nig_params_from_evidence, nig_uncertainties
+from tpu_deer.models.layers import MLP
+
+Dtype = Any
+
+
+class DEERPredictionHead(nn.Module):
+    """Evidence network for one emotion dimension → NIG params + uncertainties."""
+
+    hidden_dim: int = 256
+    dropout: float = 0.3
+    output_dim: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        evidence = MLP(
+            [self.hidden_dim, self.hidden_dim // 2, 4 * self.output_dim],
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="evidence_network",
+        )(x, deterministic=deterministic)
+        # Cast up for the constrained params: NIG math is precision-sensitive.
+        evidence = evidence.astype(jnp.float32).reshape(
+            evidence.shape[:-1] + (self.output_dim, 4)
+        )
+        params = nig_params_from_evidence(evidence)
+        unc = nig_uncertainties(params)
+        return {
+            "params": params,
+            "mu": params.mu,
+            "nu": params.nu,
+            "alpha": params.alpha,
+            "beta": params.beta,
+            "aleatoric_uncertainty": unc["aleatoric"],
+            "epistemic_uncertainty": unc["epistemic"],
+            "uncertainty": unc["total"],
+        }
+
+
+class MultiDimensionalDEER(nn.Module):
+    """Shared 2-layer feature processor + one DEER head per emotion dim
+    (deer.py:198-266)."""
+
+    input_dim: int
+    hidden_dim: int = 256
+    dim_names: Sequence[str] = ("valence", "arousal", "dominance")
+    dropout: float = 0.3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = MLP(
+            [self.hidden_dim, self.hidden_dim],
+            dropout=self.dropout,
+            final_activation="relu",
+            dtype=self.dtype,
+            name="feature_processor",
+        )(x, deterministic=deterministic)
+
+        out: dict = {}
+        mus, totals = [], []
+        for name in self.dim_names:
+            head = DEERPredictionHead(
+                self.hidden_dim, self.dropout, dtype=self.dtype, name=f"head_{name}"
+            )(h, deterministic=deterministic)
+            for k, v in head.items():
+                if k != "params":
+                    out[f"{name}_{k}"] = v
+            out[f"{name}_params"] = head["params"]
+            mus.append(head["mu"])
+            totals.append(head["uncertainty"])
+        out["mu_all"] = jnp.concatenate(mus, axis=-1)
+        out["uncertainty_all"] = jnp.concatenate(totals, axis=-1)
+        return out
+
+
+class UncertaintyCalibrationLayer(nn.Module):
+    """Learned temperature + shared MLP-sigmoid calibration map per dim.
+
+    The reference loops over dims calling a shared 1→32→16→1 net
+    (complete_project.py:439-459); here all dims go through in one batched
+    pass ([B, D] → [B*D, 1] → [B, D]) — same math, one XLA fusion.
+    """
+
+    num_dimensions: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, uncertainties):
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_dimensions,)
+        )
+        scaled = uncertainties / temperature[None, :]
+        b, d = scaled.shape
+        flat = scaled.reshape(b * d, 1)
+        h = nn.relu(nn.Dense(32, dtype=self.dtype, name="cal1")(flat))
+        h = nn.relu(nn.Dense(16, dtype=self.dtype, name="cal2")(h))
+        cal = nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="cal3")(h))
+        return cal.reshape(b, d)
