@@ -1,0 +1,4 @@
+"""Data pipelines: synthetic fixture, dataset parsers, feature extraction, loaders."""
+
+from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+from tpu_deer.data.pipeline import ArrayDataset, BatchIterator

@@ -1,0 +1,106 @@
+"""Host-side data pipeline: array datasets, shuffled batch iteration, sharding.
+
+Replaces the reference's torch DataLoader stack (preprocessing.py:741-787).
+TPU-first: data lives as contiguous numpy arrays on host; batches are sliced
+with a seeded permutation, padded to a static batch size (so every jitted
+step sees identical shapes — no recompilation), and placed onto the device
+mesh with `jax.device_put(batch, NamedSharding(mesh, P('data', ...)))` by the
+trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """A dict of equal-length numpy arrays + a name (dataset identity)."""
+
+    arrays: dict[str, np.ndarray]
+    name: str = "dataset"
+
+    def __post_init__(self):
+        lengths = {k: len(v) for k, v in self.arrays.items()}
+        if len(set(lengths.values())) > 1:
+            raise ValueError(f"ragged arrays: {lengths}")
+
+    def __len__(self) -> int:
+        return len(next(iter(self.arrays.values())))
+
+    def slice(self, idx: np.ndarray) -> dict[str, np.ndarray]:
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+
+class BatchIterator:
+    """Seeded, shuffled, statically-shaped batch iterator.
+
+    The final partial batch is padded by wrapping around (with a `mask` array
+    marking real rows) so jit never sees a new shape. With `drop_last=True`
+    (train default, matching the reference DataLoader) partial batches are
+    dropped instead.
+    """
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[dict[str, np.ndarray]]:
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self._seed + epoch).permutation(n)
+
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            mask = np.ones(self.batch_size, dtype=np.float32)
+            if len(idx) < self.batch_size:
+                pad = self.batch_size - len(idx)
+                mask[len(idx) :] = 0.0
+                idx = np.concatenate([idx, order[:pad]])
+            batch = self.dataset.slice(idx)
+            batch["mask"] = mask
+            yield batch
+
+
+def pad_to_multiple(arrays: dict[str, np.ndarray], multiple: int) -> dict:
+    """Pad the leading axis to a multiple (for even sharding across devices)."""
+    n = len(next(iter(arrays.values())))
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        out = dict(arrays)
+        out["mask"] = np.ones(n, dtype=np.float32)
+        return out
+    pad = target - n
+    out = {
+        k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+        for k, v in arrays.items()
+    }
+    out["mask"] = np.concatenate(
+        [np.ones(n, dtype=np.float32), np.zeros(pad, dtype=np.float32)]
+    )
+    return out

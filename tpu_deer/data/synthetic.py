@@ -1,0 +1,80 @@
+"""Seeded synthetic multimodal dataset — the dataset-free CI/quick-mode fixture.
+
+Parity with the reference's synthetic fallback (run_multimodal_deer.py:329-351)
+with one deliberate fix: the reference draws labels independently of features
+(unlearnable — CCC can never rise above 0), whereas here the VAD labels are a
+deterministic nonlinear function of the features plus controllable noise, so
+training curves and CCC actually measure learning. Set `label_noise=1e9` to
+recover unlearnable-noise behavior if needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticConfig:
+    n_train: int = 1000
+    n_val: int = 200
+    n_test: int = 200
+    audio_dim: int = 84
+    video_dim: int = 256
+    text_dim: int = 768
+    emotion_dims: int = 3
+    label_noise: float = 0.05
+    # Per-sample difficulty heterogeneity: fraction of samples with extra
+    # label noise, so uncertainty estimation has real signal to learn.
+    hard_fraction: float = 0.3
+    hard_noise: float = 0.4
+    seed: int = 42
+
+
+def _make_split(cfg: SyntheticConfig, n: int, rng: np.random.Generator) -> dict:
+    audio = rng.standard_normal((n, cfg.audio_dim)).astype(np.float32)
+    video = rng.standard_normal((n, cfg.video_dim)).astype(np.float32)
+    text = rng.standard_normal((n, cfg.text_dim)).astype(np.float32)
+
+    # Fixed random projections (drawn from a seed-derived generator so every
+    # split shares the same label function).
+    proj_rng = np.random.default_rng(cfg.seed + 7919)
+    w_a = proj_rng.standard_normal((cfg.audio_dim, cfg.emotion_dims)) / np.sqrt(
+        cfg.audio_dim
+    )
+    w_v = proj_rng.standard_normal((cfg.video_dim, cfg.emotion_dims)) / np.sqrt(
+        cfg.video_dim
+    )
+    w_t = proj_rng.standard_normal((cfg.text_dim, cfg.emotion_dims)) / np.sqrt(
+        cfg.text_dim
+    )
+    w2 = proj_rng.standard_normal((cfg.emotion_dims, cfg.emotion_dims))
+
+    base = audio @ w_a + video @ w_v + text @ w_t
+    signal = np.tanh(base + 0.5 * np.tanh(base @ w2))
+
+    is_hard = rng.random(n) < cfg.hard_fraction
+    noise_scale = np.where(is_hard, cfg.hard_noise, cfg.label_noise)
+    labels = np.tanh(
+        signal + noise_scale[:, None] * rng.standard_normal((n, cfg.emotion_dims))
+    ).astype(np.float32)
+
+    return {
+        "audio": audio,
+        "video": video,
+        "text": text,
+        "labels": labels,
+        "is_hard": is_hard.astype(np.float32),
+    }
+
+
+def make_synthetic_splits(cfg: SyntheticConfig | None = None) -> dict[str, dict]:
+    """Returns {"train": {...}, "val": {...}, "test": {...}} numpy dicts."""
+    cfg = cfg or SyntheticConfig()
+    rng = np.random.default_rng(cfg.seed)
+    return {
+        "train": _make_split(cfg, cfg.n_train, rng),
+        "val": _make_split(cfg, cfg.n_val, rng),
+        "test": _make_split(cfg, cfg.n_test, rng),
+    }

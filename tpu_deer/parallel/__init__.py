@@ -1,0 +1,12 @@
+"""SPMD parallelism: device mesh, sharding rules, distributed metrics."""
+
+from tpu_deer.parallel.mesh import (
+    MeshConfig,
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_sharding_rules,
+    shard_params,
+    shard_batch,
+)
+from tpu_deer.parallel.dist_metrics import global_ccc_stats, psum_tree

@@ -1,0 +1,117 @@
+"""Checkpoint manager: params + optimizer state + step + RNG + best metric.
+
+The reference *intended* this (`ModelCheckpoint` is imported at
+training.py:31 and called at training.py:414-448) but the class does not
+exist anywhere — checkpointing silently fell back to raw torch.save of
+weights only. This implementation makes the capability real:
+
+  * full training-state serialization (flax msgpack — framework-neutral bytes)
+  * best-metric and periodic policies, with pruning of stale periodic saves
+  * exact resume: params, optimizer state, step counter, dropout RNG key,
+    best-metric-so-far
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep_last: int = 3):
+        self.directory = directory
+        self.keep_last = keep_last
+        os.makedirs(directory, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:08d}")
+
+    @property
+    def best_dir(self) -> str:
+        return os.path.join(self.directory, "best")
+
+    # -- save ------------------------------------------------------------
+    def save(
+        self,
+        state: Any,
+        step: int,
+        metrics: Optional[dict] = None,
+        is_best: bool = False,
+    ) -> str:
+        """Serialize `state` (any pytree) + metadata. Returns the ckpt dir."""
+        path = self._step_dir(step)
+        self._write(path, state, step, metrics)
+        if is_best:
+            if os.path.isdir(self.best_dir):
+                shutil.rmtree(self.best_dir)
+            shutil.copytree(path, self.best_dir)
+        self._prune()
+        return path
+
+    def _write(self, path: str, state: Any, step: int, metrics: Optional[dict]):
+        os.makedirs(path, exist_ok=True)
+        host_state = jax.device_get(state)
+        with open(os.path.join(path, "state.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(host_state))
+        meta = {"step": step, "metrics": _to_jsonable(metrics or {})}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def _prune(self):
+        steps = sorted(self.all_steps())
+        for step in steps[: -self.keep_last] if self.keep_last > 0 else []:
+            shutil.rmtree(self._step_dir(step), ignore_errors=True)
+
+    # -- restore ---------------------------------------------------------
+    def all_steps(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("step_"):
+                out.append(int(name.split("_")[1]))
+        return sorted(out)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def restore(self, template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of `template` (an abstract or concrete
+        state pytree). step=None → latest; step='best' → best checkpoint."""
+        if step == "best":
+            path = self.best_dir
+        else:
+            if step is None:
+                step = self.latest_step()
+                if step is None:
+                    raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            path = self._step_dir(step)
+        with open(os.path.join(path, "state.msgpack"), "rb") as f:
+            return flax.serialization.from_bytes(template, f.read())
+
+    def metadata(self, step: Optional[int] = None) -> dict:
+        if step == "best":
+            path = self.best_dir
+        else:
+            step = step if step is not None else self.latest_step()
+            path = self._step_dir(step)
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f)
+
+
+def _to_jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, (np.ndarray, jax.Array)):
+        return np.asarray(obj).tolist()
+    return obj

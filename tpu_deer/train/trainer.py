@@ -1,0 +1,508 @@
+"""DEER trainer: jitted train/eval steps, multi-dataset curriculum, early stop.
+
+Capability parity with reference `src/training/training.py` (DEERTrainer,
+training.py:75-507), rebuilt TPU-first:
+
+  * ONE jitted train step — forward + loss + backward + clip + AdamW update
+    compile to a single XLA program; no per-batch Python beyond the data feed.
+  * The loss is real (the reference calls a `model.compute_loss` that doesn't
+    exist, training.py:210): multi-task evidential DEER loss + a
+    calibration-alignment term that actually trains the calibration layer.
+  * Param groups via optax.multi_transform — encoders at 0.5x lr vs heads at
+    1x (reference training.py:121-150).
+  * Schedulers: cosine with warmup / exponential / reduce-on-plateau /
+    constant (reference training.py:152-174).
+  * Curriculum multi-dataset sampling with epoch-phase probabilities
+    (reference training.py:457-484) and per-dataset loss weights.
+  * Early stopping on best validation CCC + checkpointing of full train
+    state (reference training.py:401-455), with exact resume.
+  * Optional device mesh: batches shard over 'data', params laid out by
+    tpu_deer.parallel rules; XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Mapping, Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_deer.core import losses as loss_lib
+from tpu_deer.core import metrics as metrics_lib
+from tpu_deer.data.pipeline import ArrayDataset, BatchIterator
+from tpu_deer.models.deer_model import CompleteDEERModel, DEERModelConfig
+from tpu_deer.train.checkpoint import CheckpointManager
+from tpu_deer.utils.logging import MetricWriter
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    """Parity with reference TrainingConfig (training.py:38-72)."""
+
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    gradient_clip: float = 1.0
+    batch_size: int = 32
+    num_epochs: int = 100
+    scheduler: str = "cosine"  # cosine | exponential | plateau | constant
+    warmup_epochs: int = 5
+    early_stopping_patience: int = 10
+    encoder_lr_scale: float = 0.5
+    dataset_weights: Mapping[str, float] = dataclasses.field(
+        default_factory=lambda: {"iemocap": 1.0, "ravdess": 0.8, "meld": 0.6}
+    )
+    curriculum_learning: bool = True
+    val_frequency: int = 1
+    save_frequency: int = 10
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    # Loss wiring
+    loss_variant: str = "v2"
+    loss_type: str = "multitask"  # multitask | combined
+    evidence_weight: float = 1.0
+    kl_weight: float = 0.1
+    calibration_alignment_weight: float = 0.05
+    seed: int = 42
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    dropout_rng: jax.Array
+
+
+def _encoder_label_fn(params) -> Any:
+    """Label top-level encoder subtrees 'encoder', everything else 'main'."""
+
+    def label(path, _):
+        top = getattr(path[0], "key", str(path[0]))
+        return (
+            "encoder"
+            if top in ("audio_encoder", "video_encoder", "text_encoder")
+            else "main"
+        )
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+class DEERTrainer:
+    def __init__(
+        self,
+        model: CompleteDEERModel,
+        params,
+        config: TrainingConfig = TrainingConfig(),
+        steps_per_epoch: int = 100,
+        mesh=None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.steps_per_epoch = max(1, steps_per_epoch)
+        self.total_steps = self.steps_per_epoch * config.num_epochs
+
+        self.schedule = self._build_schedule()
+        self.optimizer = self._build_optimizer(params)
+
+        if mesh is not None:
+            from tpu_deer.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
+
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.asarray(0, dtype=jnp.int32),
+            dropout_rng=jax.random.PRNGKey(config.seed),
+        )
+        self.history: dict[str, list] = {
+            "train_loss": [],
+            "val_loss": [],
+            "val_ccc": [],
+            "val_mae": [],
+            "val_ece": [],
+            "learning_rate": [],
+        }
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        # reduce-on-plateau host state
+        self._plateau_scale = 1.0
+        self._plateau_best = -np.inf
+        self._plateau_wait = 0
+
+    # -- optimizer ---------------------------------------------------------
+    def _build_schedule(self) -> Callable[[int], float]:
+        cfg = self.config
+        warmup = cfg.warmup_epochs * self.steps_per_epoch
+        if cfg.scheduler == "cosine":
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=cfg.learning_rate,
+                warmup_steps=max(1, warmup),
+                decay_steps=max(2, self.total_steps),
+                end_value=cfg.learning_rate * 0.01,
+            )
+        if cfg.scheduler == "exponential":
+            return optax.exponential_decay(
+                init_value=cfg.learning_rate,
+                transition_steps=self.steps_per_epoch,
+                decay_rate=0.95,
+            )
+        # plateau and constant: flat base schedule (plateau scales on host).
+        return optax.constant_schedule(cfg.learning_rate)
+
+    def _build_optimizer(self, params) -> optax.GradientTransformation:
+        cfg = self.config
+
+        def adamw(scale: float):
+            return optax.adamw(
+                lambda step: self.schedule(step) * scale,
+                weight_decay=cfg.weight_decay,
+            )
+
+        tx = optax.multi_transform(
+            {"encoder": adamw(cfg.encoder_lr_scale), "main": adamw(1.0)},
+            _encoder_label_fn(params),
+        )
+        return optax.chain(optax.clip_by_global_norm(cfg.gradient_clip), tx)
+
+    # -- loss ----------------------------------------------------------------
+    def _loss_fn(self, params, batch, dropout_rng, dataset_weight):
+        cfg = self.config
+        out = self.model.apply(
+            {"params": params},
+            batch["audio"],
+            batch["video"],
+            batch["text"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        dim_names = self.model.config.dim_names
+        ps = [out[f"{n}_params"] for n in dim_names]
+        y = batch["labels"]
+        lcfg = loss_lib.DEERLossConfig(
+            variant=cfg.loss_variant,
+            evidence_weight=cfg.evidence_weight,
+            kl_weight=cfg.kl_weight,
+        )
+        if cfg.loss_type == "combined":
+            loss_out = loss_lib.combined_deer_loss(ps, y, lcfg)
+        else:
+            loss_out = loss_lib.multi_task_deer_loss(ps, y, lcfg)
+        total = loss_out["total_loss"]
+
+        # Calibration alignment: train the calibration layer so calibrated
+        # uncertainty tracks realized |error| (the reference defines the
+        # layer but never trains it — complete_project.py:420-459).
+        err = jax.lax.stop_gradient(jnp.abs(out["mu_all"] - y))
+        cal_loss = jnp.mean(jnp.square(out["calibrated_uncertainty"] - err))
+        total = total + cfg.calibration_alignment_weight * cal_loss
+
+        total = total * dataset_weight
+        aux = {
+            "loss": total,
+            "nll": loss_out.get(
+                f"{dim_names[0]}_nll_loss", jnp.asarray(0.0)
+            ),
+            "mse": jnp.mean(jnp.square(out["mu_all"] - y)),
+            "calibration_alignment": cal_loss,
+            "mean_uncertainty": jnp.mean(out["uncertainty_all"]),
+        }
+        return total, aux
+
+    # -- steps -----------------------------------------------------------
+    def _train_step_impl(self, state: TrainState, batch, dataset_weight, lr_scale):
+        rng, next_rng = jax.random.split(state.dropout_rng)
+        (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, batch, rng, dataset_weight
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        # Plateau scheduler: scale the actual update (not the loss — Adam
+        # normalizes gradient magnitude, so loss scaling wouldn't change lr).
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            dropout_rng=next_rng,
+        )
+        return new_state, aux
+
+    def _eval_step_impl(self, params, batch):
+        out = self.model.apply(
+            {"params": params},
+            batch["audio"],
+            batch["video"],
+            batch["text"],
+            deterministic=True,
+        )
+        dim_names = self.model.config.dim_names
+        ps = [out[f"{n}_params"] for n in dim_names]
+        loss_out = loss_lib.multi_task_deer_loss(
+            ps, batch["labels"], loss_lib.DEERLossConfig(variant=self.config.loss_variant)
+        )
+        return {
+            "mu": out["mu_all"],
+            "uncertainty": out["uncertainty_all"],
+            "calibrated_uncertainty": out["calibrated_uncertainty"],
+            "aleatoric": jnp.concatenate(
+                [out[f"{n}_aleatoric_uncertainty"] for n in dim_names], axis=-1
+            ),
+            "epistemic": jnp.concatenate(
+                [out[f"{n}_epistemic_uncertainty"] for n in dim_names], axis=-1
+            ),
+            "loss": loss_out["total_loss"],
+        }
+
+    def _put(self, batch: dict) -> dict:
+        arrays = {
+            k: v for k, v in batch.items() if k in ("audio", "video", "text", "labels")
+        }
+        if self.mesh is not None:
+            from tpu_deer.parallel.mesh import shard_batch
+
+            return shard_batch(arrays, self.mesh)
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    # -- curriculum multi-dataset sampling ---------------------------------
+    def _curriculum_probabilities(
+        self, dataset_names: Sequence[str], epoch: int
+    ) -> np.ndarray:
+        """Epoch-phase sampling probabilities (reference training.py:457-470).
+
+        Early (<30% of epochs): focus on the highest-weight (primary)
+        dataset; mid (30-60%): blend; late: proportional to dataset weights.
+        """
+        weights = np.array(
+            [self.config.dataset_weights.get(n.lower(), 1.0) for n in dataset_names],
+            dtype=np.float64,
+        )
+        proportional = weights / weights.sum()
+        if not self.config.curriculum_learning or len(dataset_names) == 1:
+            return proportional
+        progress = epoch / max(1, self.config.num_epochs)
+        primary = np.zeros_like(proportional)
+        primary[int(np.argmax(weights))] = 1.0
+        if progress < 0.3:
+            mix = 0.7 * primary + 0.3 * proportional
+        elif progress < 0.6:
+            blend = (progress - 0.3) / 0.3
+            mix = (1 - blend) * (0.7 * primary + 0.3 * proportional) + blend * proportional
+        else:
+            mix = proportional
+        return mix / mix.sum()
+
+    def _multi_dataset_iterator(self, iterators: dict, epoch: int):
+        """Probabilistically interleave batches from several datasets
+        (reference training.py:472-484)."""
+        names = list(iterators.keys())
+        probs = self._curriculum_probabilities(names, epoch)
+        streams = {n: iter(it.epoch(epoch)) for n, it in iterators.items()}
+        total = sum(len(it) for it in iterators.values())
+        rng = np.random.default_rng(self.config.seed * 100003 + epoch)
+        produced = 0
+        while produced < total and streams:
+            live = list(streams.keys())
+            p = np.array([probs[names.index(n)] for n in live])
+            p = p / p.sum()
+            name = rng.choice(live, p=p)
+            try:
+                yield name, next(streams[name])
+                produced += 1
+            except StopIteration:
+                del streams[name]
+
+    # -- epochs ------------------------------------------------------------
+    def train_epoch(self, train_iterators: dict, epoch: int) -> dict[str, float]:
+        totals: dict[str, float] = {}
+        count = 0
+        for name, batch in self._multi_dataset_iterator(train_iterators, epoch):
+            weight = jnp.asarray(
+                self.config.dataset_weights.get(name.lower(), 1.0), dtype=jnp.float32
+            )
+            self.state, aux = self._train_step(
+                self.state,
+                self._put(batch),
+                weight,
+                jnp.asarray(self._plateau_scale, dtype=jnp.float32),
+            )
+            count += 1
+            for k, v in aux.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        return {k: v / max(1, count) for k, v in totals.items()}
+
+    def validate_epoch(self, val_iterators: dict) -> dict[str, float]:
+        preds, targets, uncs, losses_ = [], [], [], []
+        for name, it in val_iterators.items():
+            for batch in it.epoch(0):
+                out = self._eval_step(self.state.params, self._put(batch))
+                mask = batch["mask"].astype(bool)
+                preds.append(np.asarray(out["mu"])[mask])
+                targets.append(batch["labels"][mask])
+                uncs.append(np.asarray(out["uncertainty"])[mask])
+                losses_.append(float(out["loss"]))
+        preds = np.concatenate(preds)
+        targets = np.concatenate(targets)
+        uncs = np.concatenate(uncs)
+        results = metrics_lib.evaluate_predictions(preds, targets, uncs)
+        results["val_loss"] = float(np.mean(losses_))
+        return results
+
+    def train(
+        self,
+        train_datasets: Mapping[str, ArrayDataset],
+        val_datasets: Mapping[str, ArrayDataset],
+        num_epochs: Optional[int] = None,
+        logger: Optional[MetricWriter] = None,
+        checkpoints: Optional[CheckpointManager] = None,
+        resume: bool = False,
+    ) -> dict:
+        cfg = self.config
+        num_epochs = num_epochs or cfg.num_epochs
+        train_iters = {
+            n: BatchIterator(
+                d, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed
+            )
+            for n, d in train_datasets.items()
+        }
+        val_iters = {
+            n: BatchIterator(d, cfg.batch_size, shuffle=False)
+            for n, d in val_datasets.items()
+        }
+
+        start_epoch = 0
+        best_ccc = -np.inf
+        if resume and checkpoints is not None and checkpoints.latest_step() is not None:
+            self.state = checkpoints.restore(self.state)
+            meta = checkpoints.metadata()
+            start_epoch = int(meta["metrics"].get("epoch", 0)) + 1
+            best_ccc = float(meta["metrics"].get("best_ccc", -np.inf))
+
+        patience = 0
+        t0 = time.time()
+        for epoch in range(start_epoch, num_epochs):
+            train_metrics = self.train_epoch(train_iters, epoch)
+            self.history["train_loss"].append(train_metrics.get("loss", float("nan")))
+            lr = float(self.schedule(int(self.state.step))) * self._plateau_scale
+            self.history["learning_rate"].append(lr)
+            if logger:
+                logger.scalars(train_metrics, epoch, prefix="train/")
+                logger.scalar("train/lr", lr, epoch)
+
+            if (epoch + 1) % cfg.val_frequency == 0:
+                val = self.validate_epoch(val_iters)
+                self.history["val_loss"].append(val["val_loss"])
+                self.history["val_ccc"].append(val["ccc_average"])
+                self.history["val_mae"].append(val["mae_average"])
+                self.history["val_ece"].append(val.get("ece", float("nan")))
+                if logger:
+                    logger.scalars(val, epoch, prefix="val/")
+
+                self._plateau_update(val["ccc_average"])
+
+                is_best = val["ccc_average"] > best_ccc
+                if is_best:
+                    best_ccc = val["ccc_average"]
+                    patience = 0
+                else:
+                    patience += 1
+
+                if checkpoints is not None and (
+                    is_best or (epoch + 1) % cfg.save_frequency == 0
+                ):
+                    checkpoints.save(
+                        self.state,
+                        step=int(self.state.step),
+                        metrics={"epoch": epoch, "best_ccc": best_ccc, **val},
+                        is_best=is_best,
+                    )
+
+                if patience >= cfg.early_stopping_patience:
+                    break
+
+        return {
+            "history": self.history,
+            "best_val_ccc": float(best_ccc),
+            "epochs_run": epoch + 1 if num_epochs > start_epoch else start_epoch,
+            "training_time_s": time.time() - t0,
+            "final_step": int(self.state.step),
+        }
+
+    def _plateau_update(self, metric: float):
+        if self.config.scheduler != "plateau":
+            return
+        if metric > self._plateau_best + 1e-5:
+            self._plateau_best = metric
+            self._plateau_wait = 0
+        else:
+            self._plateau_wait += 1
+            if self._plateau_wait >= 5:
+                self._plateau_scale = max(self._plateau_scale * 0.5, 1e-3)
+                self._plateau_wait = 0
+
+    # -- evaluation convenience -------------------------------------------
+    def predict(self, dataset: ArrayDataset, batch_size: Optional[int] = None) -> dict:
+        it = BatchIterator(dataset, batch_size or self.config.batch_size, shuffle=False)
+        outs: dict[str, list] = {}
+        masks = []
+        for batch in it.epoch(0):
+            out = self._eval_step(self.state.params, self._put(batch))
+            masks.append(batch["mask"].astype(bool))
+            for k in ("mu", "uncertainty", "calibrated_uncertainty", "aleatoric", "epistemic"):
+                outs.setdefault(k, []).append(np.asarray(out[k]))
+        mask = np.concatenate(masks)
+        return {k: np.concatenate(v)[mask] for k, v in outs.items()}
+
+
+def run_complete_training_pipeline(
+    model_config: Optional[DEERModelConfig] = None,
+    training_config: Optional[TrainingConfig] = None,
+    train_datasets: Optional[Mapping[str, ArrayDataset]] = None,
+    val_datasets: Optional[Mapping[str, ArrayDataset]] = None,
+    experiment_dir: Optional[str] = None,
+    mesh=None,
+) -> dict:
+    """End-to-end: build model + trainer, train, return results.
+
+    Parity with reference run_complete_training_pipeline (training.py:658-727).
+    Falls back to the synthetic fixture when no datasets are given.
+    """
+    from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+    from tpu_deer.models.deer_model import create_complete_deer_model
+
+    model_config = model_config or DEERModelConfig()
+    training_config = training_config or TrainingConfig()
+
+    if train_datasets is None or val_datasets is None:
+        splits = make_synthetic_splits(SyntheticConfig(seed=training_config.seed))
+        train_datasets = {"synthetic": ArrayDataset(splits["train"], "synthetic")}
+        val_datasets = {"synthetic": ArrayDataset(splits["val"], "synthetic")}
+
+    model, params = create_complete_deer_model(model_config, seed=training_config.seed)
+    steps_per_epoch = sum(
+        len(d) // training_config.batch_size for d in train_datasets.values()
+    )
+    trainer = DEERTrainer(
+        model, params, training_config, steps_per_epoch=steps_per_epoch, mesh=mesh
+    )
+
+    logger = None
+    checkpoints = None
+    if experiment_dir:
+        logger = MetricWriter(f"{experiment_dir}/logs")
+        checkpoints = CheckpointManager(f"{experiment_dir}/models")
+
+    results = trainer.train(
+        train_datasets, val_datasets, logger=logger, checkpoints=checkpoints
+    )
+    results["trainer"] = trainer
+    return results
