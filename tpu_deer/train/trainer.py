@@ -138,13 +138,13 @@ class DEERTrainer:
     # -- optimizer ---------------------------------------------------------
     def _build_schedule(self) -> Callable[[int], float]:
         cfg = self.config
-        warmup = cfg.warmup_epochs * self.steps_per_epoch
+        warmup = min(cfg.warmup_epochs * self.steps_per_epoch, self.total_steps // 2)
         if cfg.scheduler == "cosine":
             return optax.warmup_cosine_decay_schedule(
                 init_value=0.0,
                 peak_value=cfg.learning_rate,
                 warmup_steps=max(1, warmup),
-                decay_steps=max(2, self.total_steps),
+                decay_steps=max(self.total_steps, warmup + 2),
                 end_value=cfg.learning_rate * 0.01,
             )
         if cfg.scheduler == "exponential":
