@@ -1,0 +1,11 @@
+"""Evaluation: metrics bundles, uncertainty quality, calibration, statistics."""
+
+from tpu_deer.eval.evaluator import (
+    EvaluationResults,
+    DEERModelEvaluator,
+    evaluate_deer_model,
+)
+from tpu_deer.eval.uncertainty import UncertaintyAnalyzer, sparsification_curve
+from tpu_deer.eval.calibration import CalibrationAnalyzer
+from tpu_deer.eval.statistics import StatisticalValidator, bootstrap_ccc_ci
+from tpu_deer.eval.cross_validation import CrossValidationEvaluator

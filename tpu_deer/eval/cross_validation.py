@@ -1,0 +1,79 @@
+"""K-fold cross-validation with real per-fold training.
+
+Parity with reference CrossValidationEvaluator (evaluation.py:685-782), with
+the crucial difference that the reference's per-fold training step is
+commented out (it evaluates untrained models); here each fold actually trains
+before evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from tpu_deer.data.pipeline import ArrayDataset
+from tpu_deer.eval.evaluator import DEERModelEvaluator
+from tpu_deer.models.deer_model import DEERModelConfig, create_complete_deer_model
+from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+
+
+class CrossValidationEvaluator:
+    def __init__(
+        self,
+        model_config: DEERModelConfig,
+        training_config: TrainingConfig,
+        n_folds: int = 5,
+        seed: int = 0,
+    ):
+        self.model_config = model_config
+        self.training_config = training_config
+        self.n_folds = n_folds
+        self.seed = seed
+
+    def _folds(self, n: int):
+        rng = np.random.default_rng(self.seed)
+        order = rng.permutation(n)
+        sizes = np.full(self.n_folds, n // self.n_folds)
+        sizes[: n % self.n_folds] += 1
+        start = 0
+        for size in sizes:
+            val_idx = order[start : start + size]
+            train_idx = np.concatenate([order[:start], order[start + size :]])
+            start += size
+            yield train_idx, val_idx
+
+    def run(self, dataset: ArrayDataset, epochs_per_fold: Optional[int] = None) -> dict:
+        fold_results = []
+        for fold, (train_idx, val_idx) in enumerate(self._folds(len(dataset))):
+            train_ds = ArrayDataset(dataset.slice(train_idx), dataset.name)
+            val_ds = ArrayDataset(dataset.slice(val_idx), dataset.name)
+
+            model, params = create_complete_deer_model(
+                self.model_config, seed=self.seed + fold
+            )
+            steps = max(1, len(train_ds) // self.training_config.batch_size)
+            trainer = DEERTrainer(
+                model, params, self.training_config, steps_per_epoch=steps
+            )
+            trainer.train(
+                {dataset.name: train_ds},
+                {dataset.name: val_ds},
+                num_epochs=epochs_per_fold,
+            )
+            res = DEERModelEvaluator(n_bootstrap=0).evaluate_model(trainer, val_ds)
+            fold_results.append(res)
+
+        cccs = np.array([r.ccc_average for r in fold_results])
+        maes = np.array([r.mae_average for r in fold_results])
+        return {
+            "folds": [r.to_dict() for r in fold_results],
+            "ccc_mean": float(cccs.mean()),
+            "ccc_std": float(cccs.std()),
+            "ccc_ci": (
+                float(cccs.mean() - 1.96 * cccs.std() / np.sqrt(len(cccs))),
+                float(cccs.mean() + 1.96 * cccs.std() / np.sqrt(len(cccs))),
+            ),
+            "mae_mean": float(maes.mean()),
+            "mae_std": float(maes.std()),
+        }
