@@ -1,0 +1,120 @@
+"""End-to-end CLI tests: the full quick-mode pipeline on synthetic data."""
+
+import json
+import os
+
+import pytest
+
+from tpu_deer.cli import MultimodalDEERPipeline, main, run_component_tests
+
+
+class TestPipelineE2E:
+    @pytest.fixture(scope="class")
+    def summary_and_dir(self, tmp_path_factory):
+        out = tmp_path_factory.mktemp("exp")
+        pipeline = MultimodalDEERPipeline(
+            output_dir=str(out),
+            experiment_name="e2e_quick",
+            quick=True,
+            overrides={
+                "model.encoder_dim": 64,
+                "model.fusion_dim": 128,
+                "model.encoder_layers": 1,
+                "training.num_epochs": 2,
+                "training.batch_size": 32,
+            },
+        )
+        summary = pipeline.run_full_pipeline()
+        return summary, pipeline.experiment_dir
+
+    def test_full_pipeline_artifacts(self, summary_and_dir):
+        summary, exp_dir = summary_and_dir
+        # Experiment dir layout (reference run_multimodal_deer.py:139-153)
+        for sub in ("models", "plots", "logs", "results", "configs"):
+            assert os.path.isdir(os.path.join(exp_dir, sub)), sub
+        assert os.path.exists(
+            os.path.join(exp_dir, "configs", "config.yaml")
+        )
+        assert os.path.exists(
+            os.path.join(exp_dir, "results", "pipeline_summary.json")
+        )
+        assert os.path.exists(
+            os.path.join(exp_dir, "results", "final_report.md")
+        )
+        assert os.path.exists(
+            os.path.join(exp_dir, "results", "evaluation.json")
+        )
+
+    def test_metrics_sane(self, summary_and_dir):
+        summary, _ = summary_and_dir
+        res = summary["test_results"]["synthetic"]
+        assert -1 <= res["ccc_average"] <= 1
+        # ECE >= 0; it can exceed 1 on an undertrained model because raw NIG
+        # uncertainty is unbounded (confidence = 1-u), as in the reference.
+        assert res["ece"] >= 0
+        assert res["n_samples"] == 64
+
+    def test_plots_written(self, summary_and_dir):
+        summary, _ = summary_and_dir
+        for name, path in summary["plots"].items():
+            assert os.path.exists(path), name
+
+    def test_checkpoint_written(self, summary_and_dir):
+        _, exp_dir = summary_and_dir
+        assert os.path.isdir(os.path.join(exp_dir, "models", "best"))
+
+    def test_report_contains_table(self, summary_and_dir):
+        summary, _ = summary_and_dir
+        with open(summary["report"]) as f:
+            content = f.read()
+        assert "CCC avg" in content
+        assert "synthetic" in content
+
+
+class TestCLIMain:
+    def test_mode_test(self, capsys):
+        assert run_component_tests()
+
+    def test_argparse_modes(self):
+        from tpu_deer.cli import build_arg_parser
+
+        p = build_arg_parser()
+        args = p.parse_args(["--mode", "train", "--quick", "--epochs", "3"])
+        assert args.mode == "train"
+        assert args.quick
+        assert args.epochs == 3
+
+    def test_main_mode_test_exit_code(self):
+        assert main(["--mode", "test"]) == 0
+
+
+class TestConfig:
+    def test_yaml_roundtrip(self, tmp_path):
+        from tpu_deer.utils.config import (
+            default_config,
+            load_yaml_config,
+            save_yaml_config,
+        )
+
+        cfg = default_config()
+        cfg["training"]["num_epochs"] = 7
+        path = str(tmp_path / "c.yaml")
+        save_yaml_config(cfg, path)
+        loaded = load_yaml_config(path)
+        assert loaded["training"]["num_epochs"] == 7
+        # defaults merged for untouched keys
+        assert loaded["model"]["audio_dim"] == 84
+
+    def test_missing_file_gives_defaults(self):
+        from tpu_deer.utils.config import load_yaml_config
+
+        cfg = load_yaml_config("/nonexistent/path.yaml")
+        assert cfg["model"]["audio_dim"] == 84
+
+    def test_repo_configs_parse(self):
+        from tpu_deer.utils.config import load_yaml_config
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for name in ("config.yaml", "quick_config.yaml"):
+            cfg = load_yaml_config(os.path.join(repo, "configs", name))
+            assert cfg["model"]["fusion_dim"] == 512

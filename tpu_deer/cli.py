@@ -1,0 +1,432 @@
+"""Command-line pipeline: full / train / evaluate / visualize / test modes.
+
+Parity with reference `experiments/run_multimodal_deer.py` (argparse surface
+at run_multimodal_deer.py:812-850, pipeline at :90-781), with the broken
+seams repaired: dataloader creation, trainer wiring, and evaluation all
+actually run (the reference silently fell back at each of these points —
+SURVEY.md §2.9).
+
+Usage:
+    python -m tpu_deer.cli --mode full --quick
+    python -m tpu_deer.cli --mode train --config configs/config.yaml
+    python -m tpu_deer.cli --mode evaluate --model_path <ckpt_dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("tpu_deer.cli")
+
+
+class MultimodalDEERPipeline:
+    """Experiment orchestration (reference run_multimodal_deer.py:90-781)."""
+
+    def __init__(
+        self,
+        config_path: Optional[str] = None,
+        output_dir: str = "experiments",
+        experiment_name: Optional[str] = None,
+        overrides: Optional[dict] = None,
+        quick: bool = False,
+    ):
+        from tpu_deer.utils.config import load_yaml_config, save_yaml_config
+
+        self.quick = quick
+        self.config = load_yaml_config(config_path)
+        if quick:
+            self.config["training"]["num_epochs"] = 5
+            self.config["training"]["batch_size"] = 8
+            self.config["training"]["warmup_epochs"] = 1
+        for key, value in (overrides or {}).items():
+            section, _, name = key.partition(".")
+            if name:
+                self.config[section][name] = value
+
+        if experiment_name is None:
+            experiment_name = time.strftime("experiment_%Y%m%d_%H%M%S")
+        self.experiment_dir = os.path.join(output_dir, experiment_name)
+        for sub in ("models", "plots", "logs", "results", "configs", "data"):
+            os.makedirs(os.path.join(self.experiment_dir, sub), exist_ok=True)
+        # Back up the effective config into the experiment dir
+        # (run_multimodal_deer.py:155-195 behavior).
+        save_yaml_config(
+            self.config, os.path.join(self.experiment_dir, "configs", "config.yaml")
+        )
+
+        seed = int(self.config["training"].get("seed", 42))
+        np.random.seed(seed)
+        self.seed = seed
+
+        self.mesh = self._setup_mesh()
+        self.model = None
+        self.params = None
+        self.trainer = None
+        self.datasets = None
+
+    # -- setup -----------------------------------------------------------
+    def _setup_mesh(self):
+        import jax
+
+        from tpu_deer.parallel.mesh import MeshConfig, create_mesh
+
+        n = len(jax.devices())
+        if n <= 1:
+            return None
+        mesh_cfg = self.config["hardware"].get("mesh", {})
+        return create_mesh(
+            MeshConfig(
+                data=int(mesh_cfg.get("data", -1)),
+                model=int(mesh_cfg.get("model", 1)),
+            )
+        )
+
+    def path(self, *parts) -> str:
+        return os.path.join(self.experiment_dir, *parts)
+
+    # -- components ------------------------------------------------------
+    def create_model(self):
+        from tpu_deer.models.deer_model import (
+            DEERModelConfig,
+            count_parameters,
+            create_complete_deer_model,
+        )
+
+        m = self.config["model"]
+        self.model_config = DEERModelConfig(
+            audio_dim=int(m["audio_dim"]),
+            video_dim=int(m["video_dim"]),
+            text_dim=int(m["text_dim"]),
+            encoder_dim=int(m.get("encoder_dim", 256)),
+            fusion_dim=int(m["fusion_dim"]),
+            emotion_dims=int(m["emotion_dims"]),
+            attention_heads=int(m["attention_heads"]),
+            encoder_layers=int(m.get("encoder_layers", 3)),
+            dropout=float(m["dropout"]),
+            compute_dtype=self.config["hardware"].get("compute_dtype", "float32"),
+        )
+        self.model, self.params = create_complete_deer_model(
+            self.model_config, seed=self.seed
+        )
+        n_params = count_parameters(self.params)
+        logger.info(f"model created: {n_params:,} parameters")
+        return self.model
+
+    def create_datasets(self):
+        """Real datasets when paths exist; synthetic fallback otherwise
+        (loud, not silent — run_multimodal_deer.py:311-362 behavior)."""
+        from tpu_deer.data.pipeline import ArrayDataset
+        from tpu_deer.data.registry import load_configured_datasets
+
+        loaded = load_configured_datasets(self.config, quick=self.quick)
+        if loaded:
+            self.datasets = loaded
+            logger.info(f"loaded real datasets: {list(loaded['train'])}")
+            return self.datasets
+
+        logger.warning(
+            "no real dataset paths found — using the synthetic fixture "
+            "(set datasets.paths in the config to train on real data)"
+        )
+        from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+
+        m = self.config["model"]
+        n_train, n_val, n_test = (200, 64, 64) if self.quick else (1000, 200, 200)
+        splits = make_synthetic_splits(
+            SyntheticConfig(
+                n_train=n_train, n_val=n_val, n_test=n_test,
+                audio_dim=int(m["audio_dim"]), video_dim=int(m["video_dim"]),
+                text_dim=int(m["text_dim"]), seed=self.seed,
+            )
+        )
+        self.datasets = {
+            split: {"synthetic": ArrayDataset(splits[split], "synthetic")}
+            for split in ("train", "val", "test")
+        }
+        return self.datasets
+
+    def create_trainer(self):
+        from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+
+        t = self.config["training"]
+        weights = {
+            k.lower(): float(v)
+            for k, v in self.config["datasets"].get("weights", {}).items()
+        }
+        self.training_config = TrainingConfig(
+            learning_rate=float(t["learning_rate"]),
+            weight_decay=float(t.get("weight_decay", 1e-5)),
+            gradient_clip=float(t.get("gradient_clip", 1.0)),
+            batch_size=int(t["batch_size"]),
+            num_epochs=int(t["num_epochs"]),
+            scheduler=t.get("scheduler", "cosine"),
+            warmup_epochs=int(t.get("warmup_epochs", 5)),
+            early_stopping_patience=int(t.get("early_stopping_patience", 10)),
+            dataset_weights=weights or {"synthetic": 1.0},
+            curriculum_learning=bool(t.get("curriculum_learning", True)),
+            val_frequency=int(t.get("val_frequency", 1)),
+            save_frequency=int(t.get("save_frequency", 10)),
+            evidence_weight=float(t.get("evidence_weight", 1.0)),
+            kl_weight=float(t.get("kl_weight", 0.1)),
+            seed=self.seed,
+        )
+        steps = sum(
+            len(d) // self.training_config.batch_size
+            for d in self.datasets["train"].values()
+        )
+        self.trainer = DEERTrainer(
+            self.model, self.params, self.training_config,
+            steps_per_epoch=max(1, steps), mesh=self.mesh,
+        )
+        return self.trainer
+
+    # -- stages ----------------------------------------------------------
+    def run_training(self) -> dict:
+        from tpu_deer.train.checkpoint import CheckpointManager
+        from tpu_deer.utils.logging import MetricWriter
+
+        ckpt = CheckpointManager(self.path("models"))
+        writer = MetricWriter(self.path("logs"))
+        results = self.trainer.train(
+            self.datasets["train"], self.datasets["val"],
+            logger=writer, checkpoints=ckpt,
+        )
+        history = {k: v for k, v in results.items() if k != "trainer"}
+        with open(self.path("results", "training_history.json"), "w") as f:
+            json.dump(history, f, indent=2, default=float)
+        return results
+
+    def run_evaluation(self) -> dict:
+        from tpu_deer.eval.evaluator import DEERModelEvaluator
+        from tpu_deer.models.deer_model import count_parameters
+
+        test_sets = self.datasets.get("test") or self.datasets["val"]
+        evaluator = DEERModelEvaluator(n_bootstrap=200, seed=self.seed)
+        all_results = {}
+        for name, ds in test_sets.items():
+            res = evaluator.evaluate_model(
+                self.trainer, ds, n_parameters=count_parameters(self.trainer.state.params)
+            )
+            all_results[name] = res.to_dict()
+            logger.info(
+                f"[{name}] CCC avg {res.ccc_average:.4f} "
+                f"MAE avg {res.mae_average:.4f} ECE {res.ece:.4f}"
+            )
+        with open(self.path("results", "evaluation.json"), "w") as f:
+            json.dump(all_results, f, indent=2)
+        return all_results
+
+    def run_visualization(self) -> dict:
+        from tpu_deer.viz.report import create_comprehensive_report
+
+        test_sets = self.datasets.get("test") or self.datasets["val"]
+        name, ds = next(iter(test_sets.items()))
+        pred = self.trainer.predict(ds)
+        # Attention weights need a forward that returns them:
+        import jax.numpy as jnp
+
+        out = self.trainer.model.apply(
+            {"params": self.trainer.state.params},
+            jnp.asarray(ds.arrays["audio"][:256]),
+            jnp.asarray(ds.arrays["video"][:256]),
+            jnp.asarray(ds.arrays["text"][:256]),
+            deterministic=True,
+        )
+        return create_comprehensive_report(
+            predictions=pred["mu"],
+            targets=ds.arrays["labels"],
+            uncertainties=pred["uncertainty"],
+            attention_weights=np.asarray(out["attention_weights"]),
+            history=self.trainer.history,
+            aleatoric=pred["aleatoric"],
+            epistemic=pred["epistemic"],
+            output_dir=self.path("plots"),
+        )
+
+    def generate_final_report(self, train_results, eval_results) -> str:
+        """Markdown final report (run_multimodal_deer.py:603-669)."""
+        lines = [
+            "# Multimodal DEER — Experiment Report",
+            "",
+            f"- experiment dir: `{self.experiment_dir}`",
+            f"- quick mode: {self.quick}",
+            f"- epochs run: {train_results.get('epochs_run')}",
+            f"- training time: {train_results.get('training_time_s', 0):.1f}s",
+            f"- best val CCC: {train_results.get('best_val_ccc', float('nan')):.4f}",
+            "",
+            "## Test results",
+            "",
+            "| dataset | CCC avg | CCC V | CCC A | CCC D | MAE avg | ECE |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, res in eval_results.items():
+            ccc = res["ccc"]
+            lines.append(
+                f"| {name} | {res['ccc_average']:.4f} | {ccc.get('valence', 0):.4f} "
+                f"| {ccc.get('arousal', 0):.4f} | {ccc.get('dominance', 0):.4f} "
+                f"| {res['mae_average']:.4f} | {res['ece']:.4f} |"
+            )
+        report = "\n".join(lines) + "\n"
+        path = self.path("results", "final_report.md")
+        with open(path, "w") as f:
+            f.write(report)
+        return path
+
+    def run_full_pipeline(self) -> dict:
+        t0 = time.time()
+        self.create_model()
+        self.create_datasets()
+        self.create_trainer()
+        train_results = self.run_training()
+        eval_results = self.run_evaluation()
+        plots = self.run_visualization()
+        report = self.generate_final_report(train_results, eval_results)
+        summary = {
+            "experiment_dir": self.experiment_dir,
+            "best_val_ccc": train_results["best_val_ccc"],
+            "test_results": eval_results,
+            "plots": plots,
+            "report": report,
+            "total_time_s": time.time() - t0,
+        }
+        with open(self.path("results", "pipeline_summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=float)
+        return summary
+
+    def load_checkpoint(self, model_path: str):
+        from tpu_deer.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(model_path)
+        step = "best" if os.path.isdir(os.path.join(model_path, "best")) else None
+        self.trainer.state = ckpt.restore(self.trainer.state, step=step)
+        logger.info(f"restored checkpoint from {model_path}")
+
+
+def run_component_tests() -> bool:
+    """--mode test: fast in-process smoke checks (run_multimodal_deer.py:992-1030)."""
+    import jax.numpy as jnp
+
+    from tpu_deer.core import losses, nig
+    from tpu_deer.models.deer_model import (
+        DEERModelConfig,
+        create_complete_deer_model,
+    )
+
+    ok = True
+    try:
+        model, params = create_complete_deer_model(
+            DEERModelConfig(encoder_dim=64, fusion_dim=128, encoder_layers=1),
+            seed=0,
+        )
+        out = model.apply(
+            {"params": params},
+            jnp.zeros((2, 84)), jnp.zeros((2, 256)), jnp.zeros((2, 768)),
+        )
+        assert out["mu_all"].shape == (2, 3)
+        print("model forward: OK")
+
+        ps = [out[f"{n}_params"] for n in ("valence", "arousal", "dominance")]
+        loss = losses.multi_task_deer_loss(ps, jnp.zeros((2, 3)))
+        assert bool(jnp.isfinite(loss["total_loss"]))
+        print("DEER loss: OK")
+
+        p = nig.nig_params_from_evidence(jnp.zeros((2, 3, 4)))
+        u = nig.nig_uncertainties(p)
+        assert bool(jnp.all(u["total"] > 0))
+        print("NIG math: OK")
+    except Exception as e:  # pragma: no cover
+        print(f"component test FAILED: {e}")
+        ok = False
+    return ok
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native Multimodal DEER pipeline",
+    )
+    p.add_argument(
+        "--mode",
+        choices=["full", "train", "evaluate", "visualize", "test"],
+        default="full",
+    )
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="experiments")
+    p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--results_dir", type=str, default=None)
+    p.add_argument("--quick", action="store_true",
+                   help="5 epochs, batch size 8, small synthetic data")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+
+    if args.mode == "test":
+        return 0 if run_component_tests() else 1
+
+    overrides = {}
+    if args.epochs is not None:
+        overrides["training.num_epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["training.batch_size"] = args.batch_size
+    if args.learning_rate is not None:
+        overrides["training.learning_rate"] = args.learning_rate
+
+    pipeline = MultimodalDEERPipeline(
+        config_path=args.config,
+        output_dir=args.output_dir,
+        experiment_name=args.experiment_name,
+        overrides=overrides,
+        quick=args.quick,
+    )
+
+    if args.mode == "full":
+        summary = pipeline.run_full_pipeline()
+        print(json.dumps(
+            {"best_val_ccc": summary["best_val_ccc"],
+             "experiment_dir": summary["experiment_dir"]}, indent=2))
+    elif args.mode == "train":
+        pipeline.create_model()
+        pipeline.create_datasets()
+        pipeline.create_trainer()
+        results = pipeline.run_training()
+        print(f"best val CCC: {results['best_val_ccc']:.4f}")
+    elif args.mode == "evaluate":
+        pipeline.create_model()
+        pipeline.create_datasets()
+        pipeline.create_trainer()
+        if args.model_path:
+            pipeline.load_checkpoint(args.model_path)
+        results = pipeline.run_evaluation()
+        print(json.dumps(results, indent=2))
+    elif args.mode == "visualize":
+        pipeline.create_model()
+        pipeline.create_datasets()
+        pipeline.create_trainer()
+        if args.model_path:
+            pipeline.load_checkpoint(args.model_path)
+        plots = pipeline.run_visualization()
+        print(json.dumps(plots, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
