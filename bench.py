@@ -1,0 +1,105 @@
+"""Benchmark harness: full-size trimodal DEER inference on one chip.
+
+Prints ONE JSON line:
+  {"metric": "p50_per_sample_latency_ms", "value": N, "unit": "ms",
+   "vs_baseline": 47/N}
+
+Baseline: the reference claims 47 ms per sample inference latency
+(reference README.md:30; BASELINE.md). vs_baseline > 1 means faster than the
+reference. The north-star target is < 5 ms p50/sample on one TPU chip.
+
+Method: jitted forward of the full ~12M-param CompleteDEERModel.
+  * p50 per-sample latency measured at batch=1 (true single-sample serving).
+  * Throughput (samples/sec/chip) measured at a large batch — reported on
+    stderr for the record, headline metric stays latency.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = 47.0
+
+
+def _bench_latency(fn, args, iters: int = 100, warmup: int = 10) -> np.ndarray:
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1e3)
+    return np.asarray(times)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_deer.models.deer_model import (
+        DEERModelConfig,
+        count_parameters,
+        create_complete_deer_model,
+    )
+
+    platform = jax.devices()[0].platform
+    # bf16 on TPU for the dense path; params and NIG math stay f32.
+    compute_dtype = "bfloat16" if platform != "cpu" else "float32"
+    config = DEERModelConfig(compute_dtype=compute_dtype)
+    model, params = create_complete_deer_model(config, seed=0)
+    n_params = count_parameters(params)
+
+    @jax.jit
+    def forward(params, audio, video, text):
+        out = model.apply({"params": params}, audio, video, text,
+                          deterministic=True)
+        return out["mu_all"], out["calibrated_uncertainty"]
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(b):
+        return (
+            jnp.asarray(rng.standard_normal((b, config.audio_dim)), jnp.float32),
+            jnp.asarray(rng.standard_normal((b, config.video_dim)), jnp.float32),
+            jnp.asarray(rng.standard_normal((b, config.text_dim)), jnp.float32),
+        )
+
+    # --- single-sample p50 latency ---------------------------------------
+    lat = _bench_latency(forward, (params, *make_batch(1)), iters=200, warmup=20)
+    p50 = float(np.percentile(lat, 50))
+    p99 = float(np.percentile(lat, 99))
+
+    # --- batched throughput ----------------------------------------------
+    B = 1024
+    bt = _bench_latency(forward, (params, *make_batch(B)), iters=30, warmup=5)
+    throughput = B / (float(np.percentile(bt, 50)) / 1e3)
+
+    print(
+        f"# platform={platform} params={n_params:,} dtype={compute_dtype} "
+        f"p50={p50:.3f}ms p99={p99:.3f}ms "
+        f"throughput={throughput:,.0f} samples/s/chip (batch {B})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "p50_per_sample_latency_ms",
+                "value": round(p50, 4),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / p50, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
