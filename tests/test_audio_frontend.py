@@ -1,0 +1,217 @@
+"""Audio front-end tests: DSP bases vs scipy/numpy, Pallas vs XLA equality,
+F0 accuracy on known tones, feature-vector contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_deer.ops import dsp
+from tpu_deer.ops.audio_frontend import (
+    FEATURE_DIM,
+    AudioFrontendConfig,
+    audio_frame_features,
+    deltas,
+    extract_utterance_features,
+    f0_autocorrelation,
+    frame_signal,
+    mfcc_frames,
+    rms_energy,
+    spectral_summaries,
+    zero_crossing_rate,
+)
+
+CFG = AudioFrontendConfig()
+
+
+def _tone(freq, duration=1.0, sr=16000, amp=0.5):
+    t = np.arange(int(duration * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestDSPBases:
+    def test_rdft_matches_numpy_rfft(self, rng):
+        n_fft = 512
+        cos, sin = dsp.rdft_matrices(n_fft)
+        x = rng.normal(size=(4, n_fft))
+        re = x @ cos
+        im = x @ sin
+        ref = np.fft.rfft(x, axis=-1)
+        np.testing.assert_allclose(re, ref.real, atol=1e-6 * n_fft)
+        np.testing.assert_allclose(im, ref.imag, atol=1e-6 * n_fft)
+
+    def test_power_matches_numpy(self, rng):
+        n_fft = 512
+        cos, sin = dsp.rdft_matrices(n_fft)
+        x = rng.normal(size=(3, n_fft))
+        power = (x @ cos) ** 2 + (x @ sin) ** 2
+        ref = np.abs(np.fft.rfft(x, axis=-1)) ** 2
+        np.testing.assert_allclose(power, ref, rtol=1e-4, atol=1e-5)
+
+    def test_dct_orthonormal(self):
+        d = dsp.dct_matrix(40, 40)
+        np.testing.assert_allclose(d.T @ d, np.eye(40), atol=1e-10)
+
+    def test_dct_matches_scipy(self, rng):
+        from scipy.fft import dct as scipy_dct
+
+        x = rng.normal(size=(5, 40))
+        ours = x @ dsp.dct_matrix(40, 13)
+        ref = scipy_dct(x, type=2, norm="ortho", axis=-1)[:, :13]
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+    def test_mel_filterbank_properties(self):
+        fb = dsp.mel_filterbank(16000, 1024, 40)
+        assert fb.shape == (513, 40)
+        assert np.all(fb >= 0)
+        # Every filter has some support
+        assert np.all(fb.sum(axis=0) > 0)
+
+    def test_idft_lag_matrix_recovers_autocorr(self, rng):
+        """Wiener-Khinchin: power @ idft_lags == circular autocorrelation."""
+        n_fft = 256
+        x = rng.normal(size=(n_fft,))
+        power = np.abs(np.fft.rfft(x)) ** 2
+        lagmat = dsp.idft_lag_matrix(n_fft, 64)
+        ours = power @ lagmat
+        ref = np.fft.irfft(np.abs(np.fft.rfft(x)) ** 2)[:64]
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestFraming:
+    def test_frame_count_and_content(self):
+        cfg = AudioFrontendConfig(n_fft=8, hop_length=4)
+        x = jnp.arange(32, dtype=jnp.float32)
+        frames = frame_signal(x, cfg)
+        # centered: padded by 4 on each side → (32+8-8)/4+1 = 9 frames
+        assert frames.shape == (9, 8)
+        # middle frame content: frame i starts at i*hop - pad in signal coords
+        np.testing.assert_array_equal(
+            np.asarray(frames[2]), np.arange(4, 12, dtype=np.float32)
+        )
+
+
+class TestMFCCPaths:
+    def test_xla_vs_pallas_interpret(self, rng):
+        """The fused Pallas kernel must equal the XLA path bit-for-bit-ish."""
+        frames = jnp.asarray(
+            rng.normal(size=(50, CFG.n_fft)).astype(np.float32)
+        )
+        m1, l1, p1 = mfcc_frames(frames, CFG, use_pallas=False)
+        m2, l2, p2 = mfcc_frames(frames, CFG, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-3, atol=5e-3)
+
+    def test_mfcc_shapes(self, rng):
+        frames = jnp.asarray(rng.normal(size=(30, CFG.n_fft)).astype(np.float32))
+        mfcc, logmel, power = mfcc_frames(frames, CFG, use_pallas=False)
+        assert mfcc.shape == (30, 13)
+        assert logmel.shape == (30, 40)
+        assert power.shape == (30, 513)
+
+    def test_tone_energy_in_correct_mel_band(self):
+        """A 1 kHz tone's energy must concentrate near the 1 kHz mel bins."""
+        sig = jnp.asarray(_tone(1000.0))
+        frames = frame_signal(sig, CFG)
+        _, logmel, _ = mfcc_frames(frames, CFG, use_pallas=False)
+        mean_mel = np.asarray(logmel.mean(axis=0))
+        peak_bin = int(np.argmax(mean_mel))
+        mel_centers = dsp.mel_to_hz(
+            np.linspace(dsp.hz_to_mel(0), dsp.hz_to_mel(8000), 42)
+        )[1:-1]
+        assert abs(mel_centers[peak_bin] - 1000.0) < 200.0
+
+
+class TestDeltas:
+    def test_delta_of_linear_ramp_is_constant(self):
+        """d/dt of a linear ramp = slope, everywhere away from edges."""
+        x = jnp.asarray(np.arange(50, dtype=np.float32)[:, None] * 2.0)
+        d = deltas(x, width=9)
+        np.testing.assert_allclose(np.asarray(d[6:-6, 0]), 2.0, rtol=1e-5)
+
+    def test_matches_librosa_formula(self, rng):
+        x = rng.normal(size=(40, 3)).astype(np.float32)
+        width, half = 9, 4
+        kernel = dsp.delta_kernel(width)
+        padded = np.concatenate(
+            [np.repeat(x[:1], half, 0), x, np.repeat(x[-1:], half, 0)]
+        )
+        expected = np.stack(
+            [
+                sum(kernel[d] * padded[t + d] for d in range(width))
+                for t in range(40)
+            ]
+        )
+        got = np.asarray(deltas(jnp.asarray(x), width))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+class TestF0:
+    @pytest.mark.parametrize("freq", [100.0, 220.0, 440.0])
+    def test_pure_tone_f0(self, freq):
+        sig = jnp.asarray(_tone(freq, duration=0.5))
+        frames = frame_signal(sig, CFG)
+        _, _, power = mfcc_frames(frames, CFG, use_pallas=False)
+        f0, voiced = f0_autocorrelation(power, CFG)
+        v = np.asarray(voiced)
+        assert v.mean() > 0.8  # tone should be detected as voiced
+        est = np.asarray(f0)[v].mean()
+        assert abs(est - freq) / freq < 0.08, est
+
+    def test_noise_is_unvoiced(self, rng):
+        sig = jnp.asarray(rng.normal(size=8000).astype(np.float32))
+        frames = frame_signal(sig, CFG)
+        _, _, power = mfcc_frames(frames, CFG, use_pallas=False)
+        _, voiced = f0_autocorrelation(power, CFG)
+        assert np.asarray(voiced).mean() < 0.5
+
+
+class TestScalarFeatures:
+    def test_zcr_of_tone_scales_with_freq(self):
+        lo = frame_signal(jnp.asarray(_tone(100)), CFG)
+        hi = frame_signal(jnp.asarray(_tone(1000)), CFG)
+        assert float(zero_crossing_rate(hi).mean()) > float(
+            zero_crossing_rate(lo).mean()
+        )
+
+    def test_rms_of_known_amplitude(self):
+        sig = jnp.ones(CFG.n_fft) * 0.5
+        rms = rms_energy(sig[None, :])
+        np.testing.assert_allclose(float(rms[0]), 0.5, rtol=1e-6)
+
+    def test_centroid_tracks_tone_frequency(self):
+        sig = jnp.asarray(_tone(2000.0))
+        frames = frame_signal(sig, CFG)
+        _, _, power = mfcc_frames(frames, CFG, use_pallas=False)
+        centroid, rolloff, bandwidth = spectral_summaries(power, CFG)
+        c = float(np.asarray(centroid).mean())
+        assert 1500 < c < 2500, c
+        assert float(np.asarray(bandwidth).mean()) < 1500
+
+
+class TestFeatureVectors:
+    def test_utterance_vector_contract(self):
+        sig = jnp.asarray(_tone(220.0, duration=1.0))
+        vec = extract_utterance_features(sig, CFG, use_pallas=False)
+        assert vec.shape == (FEATURE_DIM,)
+        v = np.asarray(vec)
+        assert np.all(np.isfinite(v))
+        # normalized
+        assert abs(v.mean()) < 1e-4
+        assert abs(v.std() - 1.0) < 1e-3
+
+    def test_frame_features_contract(self):
+        sig = jnp.asarray(_tone(220.0, duration=0.5))
+        feats = audio_frame_features(sig, CFG, use_pallas=False)
+        assert feats.shape[-1] == FEATURE_DIM
+        assert np.all(np.isfinite(np.asarray(feats)))
+
+    def test_batchable_via_vmap(self, rng):
+        import jax
+
+        sigs = jnp.asarray(rng.normal(size=(4, 8000)).astype(np.float32))
+        feats = jax.vmap(
+            lambda s: extract_utterance_features(s, CFG, use_pallas=False)
+        )(sigs)
+        assert feats.shape == (4, FEATURE_DIM)

@@ -1,0 +1,9 @@
+"""TPU kernels and XLA DSP: the native compute tier of the framework."""
+
+from tpu_deer.ops.audio_frontend import (
+    AudioFrontendConfig,
+    frame_signal,
+    mfcc_frames,
+    audio_frame_features,
+    extract_utterance_features,
+)

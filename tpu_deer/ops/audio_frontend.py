@@ -1,0 +1,355 @@
+"""Fused audio feature front-end: framing → DFT → mel → MFCC → Δ/ΔΔ → prosody.
+
+This replaces the reference's per-sample librosa CPU loops
+(preprocessing.py:510-615, encoders.py:144-354) with batched on-device
+compute. The whole front-end is a chain of matmuls against fixed DSP bases
+(see tpu_deer.ops.dsp), so it runs on the MXU:
+
+    frames[N, n_fft] --(·cos, ·sin)--> power[N, n_bins]
+                     --(·mel)-------> logmel[N, n_mels]
+                     --(·dct)-------> mfcc[N, n_mfcc]
+    power            --(·idft_lags)-> autocorr[N, lags] -> F0 (argmax)
+
+Two interchangeable execution paths, verified equal in tests:
+  * `mfcc_frames(..., use_pallas=False)` — pure-jnp (XLA fuses it fine)
+  * `mfcc_frames(..., use_pallas=True)`  — one fused Pallas kernel: window,
+    both DFT matmuls, power, mel matmul, log, and DCT matmul never leave
+    VMEM between stages (a single HBM read of the frames, a single write of
+    mfcc+logmel+power-summaries).
+
+F0 uses normalized autocorrelation (Wiener-Khinchin via one more matmul)
+instead of librosa's pyin — a deliberate TPU-first substitution: pyin's
+Viterbi decode is sequential/host-bound, while autocorrelation F0 is one
+MXU matmul + argmax and is accurate enough for utterance-level pitch
+statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_deer.ops import dsp
+
+EPS = 1e-10
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioFrontendConfig:
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    hop_length: int = 256
+    n_mels: int = 40
+    n_mfcc: int = 13
+    fmin: float = 0.0
+    fmax: Optional[float] = None
+    f0_min: float = 65.0  # ~C2
+    f0_max: float = 520.0  # ~C5
+    delta_width: int = 9
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def max_lag(self) -> int:
+        return int(self.sample_rate / self.f0_min) + 1
+
+    @property
+    def min_lag(self) -> int:
+        return max(1, int(self.sample_rate / self.f0_max))
+
+
+@functools.lru_cache(maxsize=8)
+def _bases(cfg: AudioFrontendConfig):
+    """Host-built DSP bases for a config (cached)."""
+    window = dsp.hann_window(cfg.n_fft)
+    cos, sin = dsp.rdft_matrices(cfg.n_fft)
+    mel = dsp.mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    dct = dsp.dct_matrix(cfg.n_mels, cfg.n_mfcc)
+    lags = dsp.idft_lag_matrix(cfg.n_fft, cfg.max_lag)
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return {
+        "window": f32(window),
+        "cos": f32(cos),
+        "sin": f32(sin),
+        "mel": f32(mel),
+        "dct": f32(dct),
+        "lags": f32(lags),
+        "freqs": f32(np.linspace(0.0, cfg.sample_rate / 2.0, cfg.n_bins)),
+    }
+
+
+def frame_signal(signal: jax.Array, cfg: AudioFrontendConfig) -> jax.Array:
+    """signal [..., T] → frames [..., N, n_fft] (centered, reflect-padded)."""
+    pad = cfg.n_fft // 2
+    x = jnp.pad(
+        signal,
+        [(0, 0)] * (signal.ndim - 1) + [(pad, pad)],
+        mode="reflect",
+    )
+    t = x.shape[-1]
+    n_frames = 1 + (t - cfg.n_fft) // cfg.hop_length
+    starts = jnp.arange(n_frames) * cfg.hop_length
+    idx = starts[:, None] + jnp.arange(cfg.n_fft)[None, :]
+    return jnp.take(x, idx, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+def _power_spectrum_xla(frames, bases):
+    w = frames * bases["window"]
+    re = w @ bases["cos"]
+    im = w @ bases["sin"]
+    return re * re + im * im
+
+
+def _mfcc_from_power(power, bases):
+    mel_energy = power @ bases["mel"]
+    logmel = jnp.log(jnp.maximum(mel_energy, EPS))
+    mfcc = logmel @ bases["dct"]
+    return mfcc, logmel
+
+
+# ---------------------------------------------------------------------------
+# Pallas path — one fused kernel, everything stays in VMEM between stages
+# ---------------------------------------------------------------------------
+def _mfcc_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref, dct_ref,
+                 mfcc_ref, logmel_ref, power_ref):
+    w = frames_ref[:] * window_ref[:]
+    re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    power_ref[:] = power
+    mel_energy = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    logmel = jnp.log(jnp.maximum(mel_energy, EPS))
+    logmel_ref[:] = logmel
+    mfcc_ref[:] = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32)
+
+
+def _mfcc_pallas(frames: jax.Array, bases, cfg: AudioFrontendConfig,
+                 block_frames: int = 128, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = frames.shape[0]
+    n_pad = ((n + block_frames - 1) // block_frames) * block_frames
+    if n_pad != n:
+        frames = jnp.pad(frames, ((0, n_pad - n), (0, 0)))
+    grid = (n_pad // block_frames,)
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    row_block = lambda width: pl.BlockSpec(
+        (block_frames, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    window2d = bases["window"][None, :]  # keep operands 2-D for TPU tiling
+    mfcc, logmel, power = pl.pallas_call(
+        _mfcc_kernel,
+        grid=grid,
+        in_specs=[
+            row_block(cfg.n_fft),
+            full(window2d),
+            full(bases["cos"]),
+            full(bases["sin"]),
+            full(bases["mel"]),
+            full(bases["dct"]),
+        ],
+        out_specs=(
+            row_block(cfg.n_mfcc),
+            row_block(cfg.n_mels),
+            row_block(cfg.n_bins),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, cfg.n_mfcc), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, cfg.n_mels), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, cfg.n_bins), jnp.float32),
+        ),
+        interpret=interpret,
+    )(frames, window2d, bases["cos"], bases["sin"], bases["mel"], bases["dct"])
+    return mfcc[:n], logmel[:n], power[:n]
+
+
+def _default_use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def mfcc_frames(
+    frames: jax.Array,
+    cfg: AudioFrontendConfig = AudioFrontendConfig(),
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+):
+    """frames [N, n_fft] → (mfcc [N, n_mfcc], logmel [N, n_mels], power [N, n_bins])."""
+    bases = _bases(cfg)
+    if use_pallas is None:
+        use_pallas = _default_use_pallas()
+    if use_pallas:
+        return _mfcc_pallas(frames, bases, cfg, interpret=interpret)
+    power = _power_spectrum_xla(frames, bases)
+    mfcc, logmel = _mfcc_from_power(power, bases)
+    return mfcc, logmel, power
+
+
+# ---------------------------------------------------------------------------
+# Derived features
+# ---------------------------------------------------------------------------
+def deltas(x: jax.Array, width: int = 9) -> jax.Array:
+    """Regression delta along axis 0 (frames) with edge replication —
+    behavior of librosa.feature.delta (axis=time)."""
+    kernel = jnp.asarray(dsp.delta_kernel(width), dtype=x.dtype)
+    half = width // 2
+    padded = jnp.concatenate(
+        [jnp.repeat(x[:1], half, axis=0), x, jnp.repeat(x[-1:], half, axis=0)],
+        axis=0,
+    )
+    # Correlate over time for every feature channel: output[t] = sum_d k[d] * x[t+d]
+    windows = jnp.stack(
+        [padded[i : i + x.shape[0]] for i in range(width)], axis=0
+    )  # [width, N, F]
+    return jnp.einsum("w,wnf->nf", kernel, windows)
+
+
+def spectral_summaries(power: jax.Array, cfg: AudioFrontendConfig):
+    """Per-frame spectral centroid / rolloff / bandwidth from the power
+    spectrum (same definitions as librosa.feature.spectral_*)."""
+    bases = _bases(cfg)
+    freqs = bases["freqs"]
+    mag = jnp.sqrt(jnp.maximum(power, 0.0))
+    norm = jnp.maximum(mag.sum(axis=-1, keepdims=True), EPS)
+    centroid = (mag * freqs).sum(axis=-1, keepdims=True) / norm
+
+    cum = jnp.cumsum(mag, axis=-1)
+    thresh = 0.85 * cum[:, -1:]
+    rolloff_idx = jnp.argmax(cum >= thresh, axis=-1)
+    rolloff = freqs[rolloff_idx][:, None]
+
+    bandwidth = jnp.sqrt(
+        ((freqs - centroid) ** 2 * mag).sum(axis=-1, keepdims=True) / norm[:, 0:1]
+    )
+    return centroid[:, 0], rolloff[:, 0], bandwidth[:, 0]
+
+
+def f0_autocorrelation(power: jax.Array, cfg: AudioFrontendConfig,
+                       voiced_threshold: float = 0.5):
+    """Frame-level F0 via normalized autocorrelation (Wiener-Khinchin).
+
+    Returns (f0 [N], voiced [N] bool). Unvoiced frames get f0=0.
+    """
+    bases = _bases(cfg)
+    autocorr = power @ bases["lags"]  # [N, max_lag]
+    r0 = jnp.maximum(autocorr[:, 0:1], EPS)
+    norm_ac = autocorr / r0
+    # Restrict to the plausible pitch lag range.
+    lag_idx = jnp.arange(norm_ac.shape[1])
+    valid = (lag_idx >= cfg.min_lag) & (lag_idx <= cfg.max_lag - 1)
+    masked = jnp.where(valid[None, :], norm_ac, -jnp.inf)
+    best_lag = jnp.argmax(masked, axis=-1)
+    best_val = jnp.take_along_axis(norm_ac, best_lag[:, None], axis=-1)[:, 0]
+    voiced = best_val > voiced_threshold
+    f0 = jnp.where(voiced, cfg.sample_rate / jnp.maximum(best_lag, 1), 0.0)
+    return f0, voiced
+
+
+def zero_crossing_rate(frames: jax.Array) -> jax.Array:
+    """Per-frame ZCR (fraction of sign changes)."""
+    signs = jnp.sign(frames)
+    changes = jnp.abs(jnp.diff(signs, axis=-1)) > 0
+    return changes.mean(axis=-1)
+
+
+def rms_energy(frames: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.mean(jnp.square(frames), axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Utterance-level 84-d feature vector
+# ---------------------------------------------------------------------------
+FEATURE_DIM = 84
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def extract_utterance_features(
+    signal: jax.Array,
+    cfg: AudioFrontendConfig = AudioFrontendConfig(),
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """signal [T] → 84-d feature vector.
+
+    Canonical 84-d layout (the reference's own extractor is internally
+    inconsistent — its config would produce 92 dims against the claimed 84,
+    preprocessing.py:510-615 — so this framework fixes a canonical layout):
+
+      [ 0:13]  MFCC mean        [13:26]  MFCC std
+      [26:39]  ΔMFCC mean       [39:52]  ΔMFCC std
+      [52:65]  ΔΔMFCC mean      [65:78]  ΔΔMFCC std
+      [78]     F0 mean (voiced) [79]     F0 std (voiced)
+      [80]     RMS mean         [81]     RMS std
+      [82]     ZCR mean         [83]     spectral-centroid mean
+
+    Normalized to zero mean / unit variance over the vector (reference
+    `normalize: True` behavior).
+    """
+    frames = frame_signal(signal, cfg)
+    mfcc, _, power = mfcc_frames(frames, cfg, use_pallas=use_pallas)
+    d1 = deltas(mfcc, cfg.delta_width)
+    d2 = deltas(d1, cfg.delta_width)
+
+    f0, voiced = f0_autocorrelation(power, cfg)
+    v = voiced.astype(jnp.float32)
+    n_voiced = jnp.maximum(v.sum(), 1.0)
+    f0_mean = (f0 * v).sum() / n_voiced
+    f0_std = jnp.sqrt(jnp.maximum((v * (f0 - f0_mean) ** 2).sum() / n_voiced, 0.0))
+
+    rms = rms_energy(frames * _bases(cfg)["window"])
+    zcr = zero_crossing_rate(frames)
+    centroid, _, _ = spectral_summaries(power, cfg)
+
+    vec = jnp.concatenate(
+        [
+            mfcc.mean(axis=0), mfcc.std(axis=0),
+            d1.mean(axis=0), d1.std(axis=0),
+            d2.mean(axis=0), d2.std(axis=0),
+            jnp.stack([
+                f0_mean, f0_std,
+                rms.mean(), rms.std(),
+                zcr.mean(), centroid.mean(),
+            ]),
+        ]
+    )
+    return (vec - vec.mean()) / (vec.std() + 1e-8)
+
+
+def audio_frame_features(
+    signal: jax.Array,
+    cfg: AudioFrontendConfig = AudioFrontendConfig(),
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """signal [T] → frame-level features [N, 84] for the sequence encoder.
+
+    Per frame: 13 MFCC + 13 Δ + 13 ΔΔ + f0 + voiced + rms + zcr + centroid +
+    rolloff + bandwidth + 38 log-mel (first 38 of 40) = 84.
+    """
+    frames = frame_signal(signal, cfg)
+    mfcc, logmel, power = mfcc_frames(frames, cfg, use_pallas=use_pallas)
+    d1 = deltas(mfcc, cfg.delta_width)
+    d2 = deltas(d1, cfg.delta_width)
+    f0, voiced = f0_autocorrelation(power, cfg)
+    rms = rms_energy(frames * _bases(cfg)["window"])
+    zcr = zero_crossing_rate(frames)
+    centroid, rolloff, bandwidth = spectral_summaries(power, cfg)
+    scalars = jnp.stack(
+        [f0, voiced.astype(jnp.float32), rms, zcr, centroid, rolloff, bandwidth],
+        axis=-1,
+    )
+    feats = jnp.concatenate([mfcc, d1, d2, scalars, logmel[:, :38]], axis=-1)
+    assert feats.shape[-1] == FEATURE_DIM, feats.shape
+    return feats
