@@ -1,0 +1,208 @@
+"""IEMOCAP parser: dimensional VAD labels + trimodal features.
+
+Format contract (reference preprocessing.py:183-448 — the richer of the
+reference's two IEMOCAP parsers, whose EmoEvaluation regex actually matches
+the corpus; the multi_dataset_framework one at :214-261 mis-splits the
+bracketed VAD field):
+
+  Session{1..5}/
+    dialog/EmoEvaluation/<dialog>.txt
+        [6.2901 - 8.2357]\tSes01F_impro01_F000\tneu\t[2.5000, 2.5000, 2.5000]
+    dialog/transcriptions/<dialog>.txt
+        Ses01F_impro01_F000 [6.2901-8.2357]: Excuse me.
+    dialog/avi/DivX/<dialog>.avi                  (optional, dialog video)
+    sentences/wav/<dialog>/<utterance>.wav
+
+VAD come on IEMOCAP's 1..5 scale and are normalized to [-1, 1] via
+(v - 3) / 2.
+
+Splits are speaker-independent (preprocessing.py:405-448): sessions 1-4
+speakers split 80/20 into train/val, session 5 is the test set.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from tpu_deer.data.cache import cache_dir_for, load_cached, save_cached
+from tpu_deer.data.pipeline import ArrayDataset
+
+logger = logging.getLogger(__name__)
+
+EMO_LINE = re.compile(
+    r"\[(\d+\.\d+)\s*-\s*(\d+\.\d+)\]\t(\S+)\t(\S+)\t\[(-?\d+\.?\d*),\s*(-?\d+\.?\d*),\s*(-?\d+\.?\d*)\]"
+)
+TRANSCRIPT_LINE = re.compile(r"(\S+)\s+\[[\d.]+-[\d.]+\]:\s*(.*)")
+
+
+def _speaker_id(utt_id: str, session: int) -> str:
+    """Ses01F_impro01_F000 → speaker 'Ses01_F' (the F/M of the utterance)."""
+    turn = utt_id.split("_")[-1]
+    gender = turn[0] if turn and turn[0] in "FM" else "X"
+    return f"Ses{session:02d}_{gender}"
+
+
+def parse_annotations(root: Path) -> list[dict]:
+    """Walk all sessions; returns raw sample dicts (no features yet)."""
+    samples = []
+    for session in range(1, 6):
+        sdir = root / f"Session{session}"
+        if not sdir.is_dir():
+            continue
+        emo_dir = sdir / "dialog" / "EmoEvaluation"
+        trans_dir = sdir / "dialog" / "transcriptions"
+        if not emo_dir.is_dir():
+            continue
+        for emo_file in sorted(emo_dir.glob("*.txt")):
+            dialog = emo_file.stem
+            transcripts: dict[str, str] = {}
+            tfile = trans_dir / f"{dialog}.txt"
+            if tfile.exists():
+                for line in tfile.read_text(errors="replace").splitlines():
+                    m = TRANSCRIPT_LINE.match(line)
+                    if m:
+                        transcripts[m.group(1)] = m.group(2)
+            for line in emo_file.read_text(errors="replace").splitlines():
+                m = EMO_LINE.match(line)
+                if not m:
+                    continue
+                t1, t2, utt_id, emotion = (
+                    float(m.group(1)), float(m.group(2)), m.group(3), m.group(4),
+                )
+                v, a, d = (float(m.group(i)) for i in (5, 6, 7))
+                wav = sdir / "sentences" / "wav" / dialog / f"{utt_id}.wav"
+                avi = sdir / "dialog" / "avi" / "DivX" / f"{dialog}.avi"
+                samples.append(
+                    {
+                        "utt_id": utt_id,
+                        "session": session,
+                        "speaker": _speaker_id(utt_id, session),
+                        "emotion": emotion,
+                        # 1..5 → [-1, 1]
+                        "valence": (v - 3.0) / 2.0,
+                        "arousal": (a - 3.0) / 2.0,
+                        "dominance": (d - 3.0) / 2.0,
+                        "wav": str(wav) if wav.exists() else None,
+                        "avi": str(avi) if avi.exists() else None,
+                        "t1": t1,
+                        "t2": t2,
+                        "text": transcripts.get(utt_id, ""),
+                    }
+                )
+    return samples
+
+
+def _assign_split(sample: dict, val_speakers: set[str]) -> str:
+    if sample["session"] == 5:
+        return "test"
+    return "val" if sample["speaker"] in val_speakers else "train"
+
+
+def _extract_video_segment(avi_path: str, t1: float, t2: float, extractor):
+    """Dialog-level video: decode frames inside [t1, t2] and featurize."""
+    try:
+        import cv2
+
+        cap = cv2.VideoCapture(avi_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        frames = []
+        for frac in np.linspace(0, 1, 8):
+            t = t1 + frac * max(t2 - t1, 0.04)
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(t * fps))
+            ok, frame = cap.read()
+            if not ok:
+                break
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            frames.append(cv2.resize(gray, (64, 64)).astype(np.float32) / 255.0)
+        cap.release()
+        if frames:
+            return extractor.video.extract_from_frames(np.stack(frames))
+    except Exception as e:
+        logger.warning(f"video segment extraction failed ({avi_path}): {e}")
+    return np.zeros(256, dtype=np.float32)
+
+
+def load_iemocap(
+    root_path: str,
+    quick: bool = False,
+    cache_dir: Optional[str] = None,
+    extractor=None,
+) -> dict[str, ArrayDataset]:
+    """Parse + featurize IEMOCAP → {"train"/"val"/"test": ArrayDataset}."""
+    from tpu_deer.data.features import MultimodalFeatureExtractor
+    from tpu_deer.data.audio_io import load_wav
+
+    root = Path(root_path)
+    cdir = cache_dir_for(root_path, cache_dir)
+    key = f"iemocap_{'quick' if quick else 'full'}_v1"
+    cached = load_cached(cdir, key)
+    if cached is not None:
+        return _split_arrays(cached)
+
+    samples = parse_annotations(root)
+    if not samples:
+        raise FileNotFoundError(f"no IEMOCAP annotations under {root_path}")
+    if quick:
+        samples = samples[:200]
+
+    speakers_14 = sorted(
+        {s["speaker"] for s in samples if s["session"] < 5}
+    )
+    n_val = max(1, int(0.2 * len(speakers_14)))
+    val_speakers = set(speakers_14[-n_val:])
+
+    extractor = extractor or MultimodalFeatureExtractor()
+
+    signals, texts = [], []
+    for s in samples:
+        signals.append(
+            load_wav(s["wav"]) if s["wav"] else np.zeros(1600, np.float32)
+        )
+        texts.append(s["text"])
+    audio_feats = extractor.audio.extract_batch(signals)
+    text_feats = extractor.text.extract_batch(texts)
+    video_feats = np.stack(
+        [
+            _extract_video_segment(s["avi"], s["t1"], s["t2"], extractor)
+            if s["avi"]
+            else np.zeros(256, dtype=np.float32)
+            for s in samples
+        ]
+    )
+
+    arrays = {
+        "audio": audio_feats.astype(np.float32),
+        "video": video_feats.astype(np.float32),
+        "text": text_feats.astype(np.float32),
+        "labels": np.asarray(
+            [[s["valence"], s["arousal"], s["dominance"]] for s in samples],
+            dtype=np.float32,
+        ),
+        "split_code": np.asarray(
+            [
+                {"train": 0, "val": 1, "test": 2}[_assign_split(s, val_speakers)]
+                for s in samples
+            ],
+            dtype=np.int32,
+        ),
+    }
+    save_cached(cdir, key, arrays)
+    return _split_arrays(arrays)
+
+
+def _split_arrays(arrays: dict) -> dict[str, ArrayDataset]:
+    code = arrays["split_code"]
+    out = {}
+    for name, c in (("train", 0), ("val", 1), ("test", 2)):
+        idx = np.where(code == c)[0]
+        out[name] = ArrayDataset(
+            {k: v[idx] for k, v in arrays.items() if k != "split_code"},
+            name="iemocap",
+        )
+    return out

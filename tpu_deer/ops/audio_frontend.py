@@ -67,13 +67,14 @@ class AudioFrontendConfig:
 
 @functools.lru_cache(maxsize=8)
 def _bases(cfg: AudioFrontendConfig):
-    """Host-built DSP bases for a config (cached)."""
+    """Host-built DSP bases for a config (cached as NUMPY — caching jnp
+    arrays here would leak tracers when first touched inside a jit trace)."""
     window = dsp.hann_window(cfg.n_fft)
     cos, sin = dsp.rdft_matrices(cfg.n_fft)
     mel = dsp.mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
     dct = dsp.dct_matrix(cfg.n_mels, cfg.n_mfcc)
     lags = dsp.idft_lag_matrix(cfg.n_fft, cfg.max_lag)
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    f32 = lambda a: np.asarray(a, dtype=np.float32)
     return {
         "window": f32(window),
         "cos": f32(cos),
@@ -222,7 +223,7 @@ def spectral_summaries(power: jax.Array, cfg: AudioFrontendConfig):
     """Per-frame spectral centroid / rolloff / bandwidth from the power
     spectrum (same definitions as librosa.feature.spectral_*)."""
     bases = _bases(cfg)
-    freqs = bases["freqs"]
+    freqs = jnp.asarray(bases["freqs"])
     mag = jnp.sqrt(jnp.maximum(power, 0.0))
     norm = jnp.maximum(mag.sum(axis=-1, keepdims=True), EPS)
     centroid = (mag * freqs).sum(axis=-1, keepdims=True) / norm
@@ -276,7 +277,6 @@ def rms_energy(frames: jax.Array) -> jax.Array:
 FEATURE_DIM = 84
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def extract_utterance_features(
     signal: jax.Array,
     cfg: AudioFrontendConfig = AudioFrontendConfig(),
