@@ -30,6 +30,11 @@ class SyntheticConfig:
     hard_fraction: float = 0.3
     hard_noise: float = 0.4
     seed: int = 42
+    # Seed for the label-generating projections; defaults to `seed`. Give two
+    # configs the same label_seed (and different seeds) to create distinct
+    # datasets that share a label function — the cross-dataset-transfer
+    # fixture.
+    label_seed: int | None = None
 
 
 def _make_split(cfg: SyntheticConfig, n: int, rng: np.random.Generator) -> dict:
@@ -39,7 +44,8 @@ def _make_split(cfg: SyntheticConfig, n: int, rng: np.random.Generator) -> dict:
 
     # Fixed random projections (drawn from a seed-derived generator so every
     # split shares the same label function).
-    proj_rng = np.random.default_rng(cfg.seed + 7919)
+    label_seed = cfg.label_seed if cfg.label_seed is not None else cfg.seed
+    proj_rng = np.random.default_rng(label_seed + 7919)
     w_a = proj_rng.standard_normal((cfg.audio_dim, cfg.emotion_dims)) / np.sqrt(
         cfg.audio_dim
     )
