@@ -1,0 +1,209 @@
+"""Tests for auxiliary subsystems: hierarchical models, profiling,
+comprehensive evaluator, setup tool, logging, visualization."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestHierarchicalDEER:
+    def test_standalone_fusion_model(self, rng):
+        from tpu_deer.models.hierarchical_deer import HierarchicalDEERFusionModel
+
+        model = HierarchicalDEERFusionModel(
+            audio_dim=16, video_dim=16, text_dim=16, hidden_dim=32, num_heads=4
+        )
+        a = jnp.asarray(rng.normal(size=(4, 16)), dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), a, a, a)["params"]
+        out = model.apply({"params": params}, a, a, a)
+        assert out["mu_all"].shape == (4, 3)
+        assert out["modality_gate"].shape == (4, 2)
+        np.testing.assert_allclose(
+            np.asarray(out["modality_gate"]).sum(axis=1), 1.0, rtol=1e-5
+        )
+
+    def test_raw_sequence_model(self, rng):
+        from tpu_deer.models.hierarchical_deer import RawSequenceDEERModel
+
+        model = RawSequenceDEERModel(
+            encoder_dim=32, fusion_dim=64, vocab_size=50, num_heads=4
+        )
+        audio = jnp.asarray(rng.normal(size=(2, 10, 84)), dtype=jnp.float32)
+        video = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)), dtype=jnp.float32)
+        ids = jnp.asarray(rng.integers(0, 50, size=(2, 8)), dtype=jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), audio, video, ids)["params"]
+        out = model.apply({"params": params}, audio, video, ids)
+        assert out["mu_all"].shape == (2, 3)
+        assert out["temporal_attention"]["audio"].shape == (2, 10)
+
+    def test_raw_model_pipeline_from_frontend(self, rng):
+        """Frame features from the front-end flow into the raw model."""
+        from tpu_deer.models.hierarchical_deer import RawSequenceDEERModel
+        from tpu_deer.ops.audio_frontend import (
+            AudioFrontendConfig,
+            audio_frame_features,
+        )
+
+        sig = jnp.asarray(rng.normal(size=8000).astype(np.float32))
+        frames = audio_frame_features(sig, AudioFrontendConfig(), use_pallas=False)
+        audio = frames[None]  # [1, N, 84]
+        video = jnp.zeros((1, 2, 16, 16, 3))
+        ids = jnp.zeros((1, 4), dtype=jnp.int32)
+        model = RawSequenceDEERModel(
+            encoder_dim=32, fusion_dim=64, vocab_size=50, num_heads=4
+        )
+        params = model.init(jax.random.PRNGKey(0), audio, video, ids)["params"]
+        out = model.apply({"params": params}, audio, video, ids)
+        assert np.all(np.isfinite(np.asarray(out["mu_all"])))
+
+
+class TestProfiling:
+    def test_profile_step(self):
+        from tpu_deer.utils.profiling import profile_step
+
+        @jax.jit
+        def f(x):
+            return x @ x
+
+        stats = profile_step(f, jnp.ones((64, 64)), iters=5, warmup=1)
+        assert stats["p50_ms"] > 0
+        assert stats["mean_ms"] >= stats["min_ms"]
+
+    def test_model_flops_nonzero(self):
+        from tpu_deer.utils.profiling import calculate_model_flops
+
+        def f(x):
+            return x @ x
+
+        flops = calculate_model_flops(f, jnp.ones((32, 32)))
+        # 2*n^3 = 65536 for 32^3 matmul (None acceptable if analysis missing)
+        if flops is not None:
+            assert flops > 0
+
+    def test_profile_training_speed(self):
+        from tpu_deer.data.pipeline import ArrayDataset
+        from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+        from tpu_deer.models.deer_model import (
+            DEERModelConfig,
+            create_complete_deer_model,
+        )
+        from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+        from tpu_deer.utils.profiling import profile_training_speed
+
+        cfg = SyntheticConfig(
+            n_train=64, n_val=8, n_test=8, audio_dim=8, video_dim=8, text_dim=8
+        )
+        ds = ArrayDataset(make_synthetic_splits(cfg)["train"], "s")
+        model, params = create_complete_deer_model(
+            DEERModelConfig(
+                audio_dim=8, video_dim=8, text_dim=8, encoder_dim=16,
+                fusion_dim=32, attention_heads=2, encoder_layers=1,
+            ),
+            seed=0,
+        )
+        trainer = DEERTrainer(
+            model, params, TrainingConfig(batch_size=32, num_epochs=1),
+            steps_per_epoch=2,
+        )
+        stats = profile_training_speed(trainer, ds, iters=3)
+        assert stats["samples_per_sec"] > 0
+
+
+class TestComprehensiveEvaluator:
+    def test_report_complete(self, rng):
+        from tpu_deer.eval.comprehensive import ComprehensiveEvaluator
+
+        targets = np.tanh(rng.normal(size=(200, 3))).astype(np.float32)
+        preds = targets + 0.1 * rng.normal(size=(200, 3)).astype(np.float32)
+        unc = np.abs(rng.normal(size=(200, 3))).astype(np.float32)
+        report = ComprehensiveEvaluator().generate_report(preds, targets, unc)
+        assert "EVALUATION REPORT" in report
+        assert "valence" in report
+        assert "AUSE" in report
+        assert report.rstrip().endswith("=" * 64)  # not truncated
+
+    def test_compare_models(self, rng):
+        from tpu_deer.eval.comprehensive import ComprehensiveEvaluator
+
+        targets = rng.normal(size=(100, 3))
+        out = ComprehensiveEvaluator().compare_models(
+            targets + 0.5 * rng.normal(size=(100, 3)),
+            targets + 0.05 * rng.normal(size=(100, 3)),
+            targets,
+        )
+        assert out["significance"]["significant"]
+
+
+class TestSetupTool:
+    def test_dependency_check(self, capsys):
+        from tpu_deer.setup_tool import check_dependencies
+
+        status = check_dependencies(verbose=False)
+        assert status["jax"] and status["numpy"]
+
+    def test_scaffold_and_configs(self, tmp_path):
+        from tpu_deer.setup_tool import generate_configs, setup_project_structure
+
+        created = setup_project_structure(str(tmp_path))
+        assert len(created) == 5
+        configs = generate_configs(str(tmp_path))
+        assert len(configs) == 2
+        assert os.path.exists(tmp_path / "configs" / "config.yaml")
+
+    def test_install_self_test(self):
+        from tpu_deer.setup_tool import run_install_test
+
+        assert run_install_test()
+
+
+class TestLoggingUtils:
+    def test_metric_writer_jsonl(self, tmp_path):
+        import json
+
+        from tpu_deer.utils.logging import MetricWriter
+
+        w = MetricWriter(str(tmp_path), use_tensorboard=False)
+        w.scalar("loss", 1.5, 0)
+        w.scalars({"a": 1.0, "b": 2.0}, 1, prefix="val/")
+        w.close()
+        lines = [
+            json.loads(l)
+            for l in open(tmp_path / "metrics.jsonl").read().splitlines()
+        ]
+        assert lines[0]["tag"] == "loss"
+        assert any(l["tag"] == "val/a" for l in lines)
+
+    def test_experiment_logger_layout(self, tmp_path):
+        from tpu_deer.utils.logging import ExperimentLogger
+
+        el = ExperimentLogger(str(tmp_path), "exp1")
+        el.save_config({"a": 1})
+        el.save_results({"ccc": 0.8})
+        for sub in ("models", "plots", "logs", "results", "configs"):
+            assert os.path.isdir(el.path(sub))
+        assert os.path.exists(el.path("configs", "config.json"))
+
+
+class TestVisualization:
+    def test_comprehensive_report_plots(self, rng, tmp_path):
+        from tpu_deer.viz.report import create_comprehensive_report
+
+        n = 60
+        targets = np.tanh(rng.normal(size=(n, 3))).astype(np.float32)
+        preds = targets + 0.1 * rng.normal(size=(n, 3)).astype(np.float32)
+        unc = np.abs(rng.normal(size=(n, 3))).astype(np.float32)
+        attn = np.abs(rng.normal(size=(n, 3))).astype(np.float32)
+        attn = attn / attn.sum(axis=1, keepdims=True)
+        history = {"train_loss": [3, 2, 1], "val_ccc": [0.1, 0.3, 0.5],
+                   "learning_rate": [1e-4] * 3}
+        paths = create_comprehensive_report(
+            preds, targets, unc, attn, history,
+            aleatoric=unc * 0.5, epistemic=unc * 0.5,
+            output_dir=str(tmp_path),
+        )
+        for name, path in paths.items():
+            assert os.path.exists(path), name
+        assert len(paths) >= 9

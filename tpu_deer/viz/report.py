@@ -53,7 +53,8 @@ class EmotionSpaceVisualizer:
             if title == "Predictions" and uncertainties is not None:
                 c = np.asarray(uncertainties).mean(axis=1)
             sc = ax.scatter(
-                data[:, 0], data[:, 1], c=c, cmap="viridis", s=12, alpha=0.6
+                data[:, 0], data[:, 1], c=c,
+                cmap="viridis" if c is not None else None, s=12, alpha=0.6,
             )
             if c is not None:
                 fig.colorbar(sc, ax=ax, label="uncertainty")
