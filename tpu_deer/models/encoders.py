@@ -196,6 +196,47 @@ class VideoSequenceEncoder(nn.Module):
         return out, attn
 
 
+class UnifiedSequenceEncoder(nn.Module):
+    """Unified wrapper over the three raw-sequence encoders.
+
+    Parity with reference ModalityEncoder (encoders.py:764-852): one module
+    exposing all requested modalities behind a single call, each producing a
+    `output_dim` embedding. Missing modalities are simply not computed
+    (static — jit-friendly), instead of the reference's runtime try/except
+    zero-substitution (encoders.py:820-850) which hid failures silently.
+    """
+
+    output_dim: int = 512
+    modalities: tuple = ("audio", "video", "text")
+    vocab_size: int = 30522
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        audio_frames=None,
+        video_frames=None,
+        token_ids=None,
+        text_mask=None,
+        *,
+        deterministic: bool = True,
+    ):
+        out: dict = {}
+        if "audio" in self.modalities and audio_frames is not None:
+            out["audio"], out["audio_attention"] = AudioSequenceEncoder(
+                self.output_dim, dtype=self.dtype, name="audio"
+            )(audio_frames, deterministic=deterministic)
+        if "video" in self.modalities and video_frames is not None:
+            out["video"], out["video_attention"] = VideoSequenceEncoder(
+                self.output_dim, dtype=self.dtype, name="video"
+            )(video_frames, deterministic=deterministic)
+        if "text" in self.modalities and token_ids is not None:
+            out["text"], out["text_attention"] = TextSequenceEncoder(
+                self.vocab_size, self.output_dim, dtype=self.dtype, name="text"
+            )(token_ids, text_mask, deterministic=deterministic)
+        return out
+
+
 class TransformerBlock(nn.Module):
     """Pre-norm transformer encoder block."""
 
