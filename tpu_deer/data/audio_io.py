@@ -15,7 +15,17 @@ from scipy.signal import resample_poly
 
 
 def load_wav(path: str, target_sr: int = 16000, mono: bool = True) -> np.ndarray:
-    """Load a wav file → float32 in [-1, 1] at target_sr."""
+    """Load a wav file → float32 in [-1, 1] at target_sr.
+
+    Uses the native C++ decoder (tpu_deer.data.native) when built — it
+    releases the GIL and does decode+mixdown+resample in one pass — and
+    falls back to scipy otherwise.
+    """
+    from tpu_deer.data.native import load_wav_native
+
+    native = load_wav_native(path, target_sr)
+    if native is not None:
+        return native
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0
