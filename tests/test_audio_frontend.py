@@ -215,3 +215,44 @@ class TestFeatureVectors:
             lambda s: extract_utterance_features(s, CFG, use_pallas=False)
         )(sigs)
         assert feats.shape == (4, FEATURE_DIM)
+
+
+class TestEnhancedFeatures:
+    def test_contract(self):
+        from tpu_deer.ops.audio_frontend import extract_enhanced_utterance_features
+
+        sig = jnp.asarray(_tone(220.0, duration=1.0))
+        v = extract_enhanced_utterance_features(sig, CFG, use_pallas=False)
+        assert v.shape == (84,)
+        assert np.all(np.isfinite(np.asarray(v)))
+        assert abs(float(v.mean())) < 1e-4
+
+    def test_formant_peaks_find_harmonics(self):
+        """A 200 Hz tone + strong harmonics → peaks near multiples of 200."""
+        from tpu_deer.ops.audio_frontend import _spectral_peaks, mfcc_frames
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        sig = sum(
+            a * np.sin(2 * np.pi * f * t)
+            for f, a in ((200, 0.5), (400, 0.4), (600, 0.3))
+        ).astype(np.float32)
+        frames = frame_signal(jnp.asarray(sig), CFG)
+        _, _, power = mfcc_frames(frames, CFG, use_pallas=False)
+        freqs, mags = _spectral_peaks(power.mean(axis=0), CFG, k=5)
+        found = np.asarray(freqs)
+        found = found[found > 0]
+        for target in (200, 400, 600):
+            assert np.min(np.abs(found - target)) < 40, (target, found)
+
+    def test_jittable(self):
+        import jax
+
+        from tpu_deer.ops.audio_frontend import extract_enhanced_utterance_features
+
+        sig = jnp.asarray(_tone(150.0, duration=0.5))
+        f = jax.jit(
+            lambda s: extract_enhanced_utterance_features(s, CFG, use_pallas=False)
+        )
+        v = f(sig)
+        assert np.all(np.isfinite(np.asarray(v)))

@@ -196,6 +196,25 @@ class VideoSequenceEncoder(nn.Module):
         return out, attn
 
 
+def create_encoders_from_config(config) -> dict[str, nn.Module]:
+    """Factory building the three feature-level encoders from a model config
+    (parity with reference create_encoders_from_config, encoders.py:936-956)."""
+    return {
+        name: ModalityEncoder(
+            output_dim=config.encoder_dim,
+            num_layers=config.encoder_layers,
+            dropout=config.dropout,
+            dtype=config.dtype,
+        )
+        for name in ("audio", "video", "text")
+    }
+
+
+def get_encoder_output_dims(config) -> dict[str, int]:
+    """Parity with reference get_encoder_output_dims (encoders.py:958-966)."""
+    return {name: config.encoder_dim for name in ("audio", "video", "text")}
+
+
 class UnifiedSequenceEncoder(nn.Module):
     """Unified wrapper over the three raw-sequence encoders.
 

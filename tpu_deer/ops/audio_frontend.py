@@ -328,6 +328,148 @@ def extract_utterance_features(
     return (vec - vec.mean()) / (vec.std() + 1e-8)
 
 
+def _masked_stats(x: jax.Array, mask: jax.Array) -> tuple[jax.Array, ...]:
+    """mean/std/min/max over masked entries ([N] arrays)."""
+    m = mask.astype(jnp.float32)
+    n = jnp.maximum(m.sum(), 1.0)
+    mean = (x * m).sum() / n
+    std = jnp.sqrt(jnp.maximum((m * (x - mean) ** 2).sum() / n, 0.0))
+    big = jnp.where(mask, x, jnp.inf)
+    small = jnp.where(mask, x, -jnp.inf)
+    mn = jnp.where(mask.any(), jnp.min(big), 0.0)
+    mx = jnp.where(mask.any(), jnp.max(small), 0.0)
+    return mean, std, mn, mx
+
+
+def _spectral_peaks(mean_power: jax.Array, cfg: AudioFrontendConfig, k: int = 5):
+    """Top-k local maxima of the mean power spectrum → (freqs, mags).
+
+    The formant approximation of reference encoders.py:299-325 (which used
+    scipy find_peaks on the mean PSD), as a vectorized local-max + top_k.
+    """
+    freqs = jnp.asarray(_bases(cfg)["freqs"])
+    p = mean_power
+    left = jnp.concatenate([p[:1], p[:-1]])
+    right = jnp.concatenate([p[1:], p[-1:]])
+    is_peak = (p > left) & (p >= right) & (p > 0.1 * p.max())
+    masked = jnp.where(is_peak, p, -jnp.inf)
+    mags, idx = jax.lax.top_k(masked, k)
+    peak_freqs = jnp.where(jnp.isfinite(mags), freqs[idx], 0.0)
+    mags = jnp.where(jnp.isfinite(mags), mags, 0.0)
+    # Sort ascending by frequency (formant order F1 < F2 < ...)
+    order = jnp.argsort(jnp.where(peak_freqs > 0, peak_freqs, jnp.inf))
+    return peak_freqs[order], mags[order]
+
+
+def _chroma_matrix(cfg: AudioFrontendConfig) -> np.ndarray:
+    """[n_bins, 12] fold of FFT bins into pitch classes (simple chroma)."""
+    freqs = np.linspace(0.0, cfg.sample_rate / 2.0, cfg.n_bins)
+    out = np.zeros((cfg.n_bins, 12), dtype=np.float32)
+    valid = freqs > 20.0
+    midi = np.zeros_like(freqs)
+    midi[valid] = 69.0 + 12.0 * np.log2(freqs[valid] / 440.0)
+    pc = np.mod(np.round(midi), 12).astype(int)
+    out[np.arange(cfg.n_bins)[valid], pc[valid]] = 1.0
+    return out
+
+
+def extract_enhanced_utterance_features(
+    signal: jax.Array,
+    cfg: AudioFrontendConfig = AudioFrontendConfig(),
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """84-d utterance vector with the reference's enhanced composition.
+
+    Layout mirrors reference encoders.py:174-354 (39 MFCC family + 25
+    prosodic + 10 formant + 10 spectral), with TPU-friendly equivalents for
+    the librosa-only pieces:
+      [ 0:39] mean MFCC + mean ΔMFCC + mean ΔΔMFCC            (13 each)
+      [39:64] prosodic (25): F0 {mean,std,min,max,p25,p75}, RMS
+              {mean,std,min,max}, ZCR {mean,std}, rolloff {mean,std},
+              tempo proxy, speaking-rate proxy (onset count), centroid
+              {mean,std}, voiced fraction, F0 range, RMS dynamic range,
+              onset-strength {mean,std}, zeros(2) padding (reference pads
+              18 → 25; here 23 real + 2 pad)
+      [64:74] formants (10): 5 spectral-peak freqs (kHz) + their log-mags
+      [74:84] spectral (10): centroid/rolloff/bandwidth {mean,std},
+              spectral-contrast {mean,std}, chroma {mean,std}
+    """
+    frames = frame_signal(signal, cfg)
+    mfcc, logmel, power = mfcc_frames(frames, cfg, use_pallas=use_pallas)
+    d1 = deltas(mfcc, cfg.delta_width)
+    d2 = deltas(d1, cfg.delta_width)
+    mfcc_block = jnp.concatenate(
+        [mfcc.mean(axis=0), d1.mean(axis=0), d2.mean(axis=0)]
+    )  # 39
+
+    # Prosodic (25)
+    f0, voiced = f0_autocorrelation(power, cfg)
+    f0_mean, f0_std, f0_min, f0_max = _masked_stats(f0, voiced)
+    voiced_f = jnp.where(voiced, f0, jnp.nan)
+    f0_p25 = jnp.nan_to_num(jnp.nanpercentile(voiced_f, 25))
+    f0_p75 = jnp.nan_to_num(jnp.nanpercentile(voiced_f, 75))
+    rms = rms_energy(frames * _bases(cfg)["window"])
+    all_mask = jnp.ones_like(rms, dtype=bool)
+    r_mean, r_std, r_min, r_max = _masked_stats(rms, all_mask)
+    zcr = zero_crossing_rate(frames)
+    centroid, rolloff, bandwidth = spectral_summaries(power, cfg)
+    # Onset strength: positive flux of log-mel over time.
+    flux = jnp.maximum(jnp.diff(logmel, axis=0), 0.0).sum(axis=-1)
+    onset_thresh = flux.mean() + flux.std()
+    onsets = (flux > onset_thresh).astype(jnp.float32)
+    speaking_rate = onsets.sum()
+    # Tempo proxy: dominant periodicity of the onset envelope (autocorr argmax).
+    flux_c = flux - flux.mean()
+    n_f = flux_c.shape[0]
+    ac = jnp.correlate(flux_c, flux_c, mode="full")[n_f - 1 :]
+    ac = ac.at[0].set(0.0)
+    frame_rate = cfg.sample_rate / cfg.hop_length
+    tempo_lag = jnp.argmax(ac)
+    tempo = jnp.where(tempo_lag > 0, 60.0 * frame_rate / jnp.maximum(tempo_lag, 1), 0.0)
+    prosodic = jnp.stack(
+        [
+            f0_mean, f0_std, f0_min, f0_max, f0_p25, f0_p75,
+            r_mean, r_std, r_min, r_max,
+            zcr.mean(), zcr.std(),
+            rolloff.mean(), rolloff.std(),
+            tempo, speaking_rate,
+            centroid.mean(), centroid.std(),
+            voiced.astype(jnp.float32).mean(),
+            f0_max - f0_min,
+            r_max - r_min,
+            flux.mean(), flux.std(),
+            jnp.asarray(0.0), jnp.asarray(0.0),  # pad to 25 (reference pads too)
+        ]
+    )
+
+    # Formants (10)
+    peak_freqs, peak_mags = _spectral_peaks(power.mean(axis=0), cfg, k=5)
+    formants = jnp.concatenate(
+        [peak_freqs / 1000.0, jnp.log1p(peak_mags)]
+    )
+
+    # Spectral (10)
+    mag = jnp.sqrt(jnp.maximum(power, 0.0))
+    # Contrast proxy: per-frame log ratio of top-quantile to bottom-quantile energy.
+    hi = jnp.quantile(mag, 0.9, axis=-1)
+    lo = jnp.quantile(mag, 0.1, axis=-1)
+    contrast = jnp.log((hi + EPS) / (lo + EPS))
+    chroma = mag @ jnp.asarray(_chroma_matrix(cfg))
+    chroma_mean = chroma.mean(axis=0)
+    spectral = jnp.stack(
+        [
+            centroid.mean(), centroid.std(),
+            rolloff.mean(), rolloff.std(),
+            bandwidth.mean(), bandwidth.std(),
+            contrast.mean(), contrast.std(),
+            chroma_mean.mean(), chroma_mean.std(),
+        ]
+    )
+
+    vec = jnp.concatenate([mfcc_block, prosodic, formants, spectral])
+    return (vec - vec.mean()) / (vec.std() + 1e-8)
+
+
 def audio_frame_features(
     signal: jax.Array,
     cfg: AudioFrontendConfig = AudioFrontendConfig(),

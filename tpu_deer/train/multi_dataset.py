@@ -176,3 +176,102 @@ class MultiDatasetFramework:
         with open(path, "w") as f:
             json.dump(payload, f, indent=2, default=float)
         return path
+
+
+def main(argv=None) -> int:
+    """CLI entry: joint multi-dataset experiment + transfer matrix + report.
+
+    Parity with reference `python multi_dataset_framework.py`
+    (multi_dataset_framework.py:513-548) — except the results are real.
+    Falls back to three distinct synthetic datasets sharing a label function
+    when no real dataset paths are configured.
+    """
+    import argparse
+
+    from tpu_deer.data.registry import load_configured_datasets
+    from tpu_deer.utils.config import load_yaml_config
+
+    p = argparse.ArgumentParser(description="multi-dataset DEER experiment")
+    p.add_argument("--config", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--transfer_epochs", type=int, default=None)
+    p.add_argument("--report", default="experiments/multi_dataset_report.json")
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    config = load_yaml_config(args.config)
+
+    loaded = load_configured_datasets(config, quick=args.quick)
+    if loaded:
+        datasets = {
+            name: {
+                split: loaded[split][name]
+                for split in ("train", "val", "test")
+                if name in loaded.get(split, {})
+            }
+            for name in loaded["train"]
+        }
+        m = config["model"]
+        model_cfg = DEERModelConfig(
+            audio_dim=int(m["audio_dim"]), video_dim=int(m["video_dim"]),
+            text_dim=int(m["text_dim"]), fusion_dim=int(m["fusion_dim"]),
+        )
+    else:
+        logger.warning("no real datasets configured — synthetic 3-dataset run")
+        from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+
+        dims = dict(audio_dim=84, video_dim=256, text_dim=768)
+        n = 200 if args.quick else 1000
+        datasets = {}
+        for i, name in enumerate(("iemocap", "ravdess", "meld")):
+            splits = make_synthetic_splits(
+                SyntheticConfig(
+                    n_train=n, n_val=n // 4, n_test=n // 4, seed=100 + i,
+                    label_seed=7, **dims,
+                )
+            )
+            datasets[name] = {
+                s: ArrayDataset(splits[s], name) for s in splits
+            }
+        model_cfg = DEERModelConfig()
+
+    t = config["training"]
+    weights = {
+        k.lower(): float(v)
+        for k, v in config["datasets"].get("weights", {}).items()
+    }
+    train_cfg = TrainingConfig(
+        learning_rate=float(t["learning_rate"]),
+        batch_size=int(t["batch_size"]),
+        num_epochs=args.epochs or (3 if args.quick else int(t["num_epochs"])),
+        warmup_epochs=min(int(t.get("warmup_epochs", 5)), 1 if args.quick else 5),
+        dataset_weights=weights or {n: 1.0 for n in datasets},
+        seed=int(t.get("seed", 42)),
+    )
+
+    fw = MultiDatasetFramework(model_cfg, train_cfg, datasets)
+    results = fw.run_full_experiment(
+        num_epochs=train_cfg.num_epochs,
+        transfer_epochs=args.transfer_epochs or train_cfg.num_epochs,
+        report_path=args.report,
+    )
+    print(json.dumps(
+        {
+            "per_dataset_ccc": {
+                n: r["ccc_average"] for n, r in results.per_dataset.items()
+            },
+            "transfer": {
+                k: v["transfer_effectiveness"] for k, v in results.transfer.items()
+            },
+            "report": args.report,
+        },
+        indent=2,
+    ))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
