@@ -1,0 +1,14 @@
+#!/usr/bin/env python
+"""Entry-point parity with the reference's experiments/run_multimodal_deer.py.
+
+Same CLI surface (modes full/train/evaluate/visualize/test, --config,
+--quick, --epochs/--batch_size/--learning_rate overrides); implementation
+lives in tpu_deer.cli.
+"""
+
+import sys
+
+from tpu_deer.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""Inference engine tests: bucketing, checkpoint loading, prediction contract."""
+
+import numpy as np
+import pytest
+
+from tpu_deer.models.deer_model import DEERModelConfig, create_complete_deer_model
+from tpu_deer.serve import InferenceEngine
+
+CFG = DEERModelConfig(
+    audio_dim=8, video_dim=8, text_dim=8, encoder_dim=16, fusion_dim=32,
+    attention_heads=2, encoder_layers=1,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model, params = create_complete_deer_model(CFG, seed=0)
+    return InferenceEngine(model, params, batch_buckets=(1, 4, 16))
+
+
+def _req(rng, n):
+    return (
+        rng.normal(size=(n, 8)).astype(np.float32),
+        rng.normal(size=(n, 8)).astype(np.float32),
+        rng.normal(size=(n, 8)).astype(np.float32),
+    )
+
+
+class TestInferenceEngine:
+    def test_single_sample(self, engine, rng):
+        out = engine.predict(*_req(rng, 1))
+        assert out["mu"].shape == (1, 3)
+        assert out["calibrated_uncertainty"].shape == (1, 3)
+        assert np.all(out["aleatoric"] > 0)
+        assert np.all(out["epistemic"] > 0)
+
+    def test_bucket_padding_consistency(self, engine, rng):
+        """Padding to a bucket must not change real rows' results."""
+        a, v, t = _req(rng, 3)  # pads to bucket 4
+        out3 = engine.predict(a, v, t)
+        out1 = engine.predict(a[:1], v[:1], t[:1])  # bucket 1
+        np.testing.assert_allclose(out3["mu"][0], out1["mu"][0], atol=1e-5)
+
+    def test_oversized_request_chunks(self, engine, rng):
+        out = engine.predict(*_req(rng, 40))  # > max bucket 16
+        assert out["mu"].shape == (40, 3)
+
+    def test_warmup(self, engine):
+        engine.warmup()  # no error; compiles all buckets
+
+    def test_from_checkpoint(self, tmp_path, rng):
+        from tpu_deer.data.pipeline import ArrayDataset
+        from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+        from tpu_deer.train.checkpoint import CheckpointManager
+        from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+
+        splits = make_synthetic_splits(
+            SyntheticConfig(n_train=64, n_val=32, n_test=0, audio_dim=8,
+                            video_dim=8, text_dim=8)
+        )
+        model, params = create_complete_deer_model(CFG, seed=0)
+        trainer = DEERTrainer(
+            model, params,
+            TrainingConfig(batch_size=32, num_epochs=1, warmup_epochs=0),
+            steps_per_epoch=2,
+        )
+        ckpt = CheckpointManager(str(tmp_path))
+        trainer.train(
+            {"s": ArrayDataset(splits["train"], "s")},
+            {"s": ArrayDataset(splits["val"], "s")},
+            checkpoints=ckpt,
+        )
+        engine = InferenceEngine.from_checkpoint(
+            str(tmp_path), CFG, batch_buckets=(1, 4)
+        )
+        out = engine.predict(*_req(rng, 2))
+        assert out["mu"].shape == (2, 3)
+        # Engine predictions match the trained trainer's eval path.
+        a, v, t = _req(rng, 2)
+        eng = engine.predict(a, v, t)
+        import jax.numpy as jnp
+
+        direct = trainer.model.apply(
+            {"params": trainer.state.params},
+            jnp.asarray(a), jnp.asarray(v), jnp.asarray(t),
+            deterministic=True,
+        )
+        np.testing.assert_allclose(
+            eng["mu"], np.asarray(direct["mu_all"]), atol=1e-5
+        )

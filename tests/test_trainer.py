@@ -173,3 +173,30 @@ class TestSchedulers:
         for _ in range(12):
             trainer._plateau_update(0.0)  # never improves
         assert trainer._plateau_scale < 1.0
+
+
+class TestBF16:
+    def test_bf16_compute_trains(self):
+        """bfloat16 dense path + float32 NIG math must train stably."""
+        import dataclasses
+
+        train, val = _datasets()
+        from tpu_deer.models.deer_model import create_complete_deer_model
+
+        cfg_bf16 = dataclasses.replace(SMALL_MODEL, compute_dtype="bfloat16")
+        model, params = create_complete_deer_model(cfg_bf16, seed=0)
+        # params stay f32 (flax keeps param dtype f32 when dtype= is compute)
+        import jax
+        import numpy as np
+
+        leaves = jax.tree_util.tree_leaves(params)
+        assert all(l.dtype == np.float32 for l in leaves)
+        trainer = DEERTrainer(
+            model, params,
+            TrainingConfig(learning_rate=5e-3, batch_size=64, num_epochs=3,
+                           warmup_epochs=0, scheduler="constant", seed=0),
+            steps_per_epoch=4,
+        )
+        results = trainer.train(train, val)
+        assert np.isfinite(results["history"]["train_loss"][-1])
+        assert results["best_val_ccc"] > -0.5
