@@ -82,10 +82,44 @@ def main() -> int:
     bt = _bench_latency(forward, (params, *make_batch(B)), iters=30, warmup=5)
     throughput = B / (float(np.percentile(bt, 50)) / 1e3)
 
+    # --- Pallas audio front-end -------------------------------------------
+    from tpu_deer.ops.audio_frontend import (
+        AudioFrontendConfig,
+        extract_utterance_features,
+    )
+
+    acfg = AudioFrontendConfig()
+    sig = jnp.asarray(rng.standard_normal(acfg.sample_rate * 3), jnp.float32)
+    fe = jax.jit(lambda s: extract_utterance_features(s, acfg))
+    fe_stats = _bench_latency(fe, (sig,), iters=50, warmup=5)
+
+    # --- train-step throughput (device-resident state) --------------------
+    from tpu_deer.data.pipeline import ArrayDataset
+    from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+    from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+    from tpu_deer.utils.profiling import profile_training_speed
+
+    splits = make_synthetic_splits(
+        SyntheticConfig(n_train=2048, n_val=8, n_test=8)
+    )
+    from tpu_deer.models.deer_model import create_complete_deer_model as _ccd
+
+    _, train_params = _ccd(config, seed=0)
+    trainer = DEERTrainer(
+        model, train_params,
+        TrainingConfig(batch_size=512, num_epochs=1), steps_per_epoch=4,
+    )
+    train_stats = profile_training_speed(
+        trainer, ArrayDataset(splits["train"], "bench"), iters=20
+    )
+
     print(
         f"# platform={platform} params={n_params:,} dtype={compute_dtype} "
         f"p50={p50:.3f}ms p99={p99:.3f}ms "
-        f"throughput={throughput:,.0f} samples/s/chip (batch {B})",
+        f"throughput={throughput:,.0f} samples/s/chip (batch {B}) | "
+        f"train {train_stats['samples_per_sec']:,.0f} samples/s/chip "
+        f"(bs {train_stats['batch_size']}) | "
+        f"audio frontend (3s utt) p50 {np.percentile(fe_stats, 50):.2f}ms",
         file=sys.stderr,
     )
     print(

@@ -65,7 +65,7 @@ class TestMesh:
 class TestDistributedMetrics:
     def test_psum_ccc_matches_global(self):
         """shard_map + psum of sufficient stats == single-device CCC exactly."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = create_mesh()
         rng = np.random.default_rng(0)
