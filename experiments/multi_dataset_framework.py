@@ -6,7 +6,10 @@ with real results (the reference hardcoded its headline numbers).
 Implementation lives in tpu_deer.train.multi_dataset.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_deer.train.multi_dataset import main
 

@@ -6,7 +6,10 @@ Same CLI surface (modes full/train/evaluate/visualize/test, --config,
 lives in tpu_deer.cli.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_deer.cli import main
 

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Headline demonstration run: full-size flagship model on the synthetic
+benchmark, on real hardware.
+
+Trains CompleteDEERModel (full 84/256/768 config, 3.9M params — identical
+param count to the reference) on the learnable heteroscedastic synthetic
+dataset and reports the full metric bundle (CCC/MAE/RMSE, ECE, uncertainty-
+error correlation, AUSE, bootstrap CIs). Writes
+experiments/RESULTS_synthetic.md + JSON.
+
+This is the run the reference *pretends* to have (its headline numbers are
+hardcoded constants); here every number is computed.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--n_train", type=int, default=20000)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--out", default="experiments/RESULTS_synthetic")
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from tpu_deer.data.pipeline import ArrayDataset
+    from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+    from tpu_deer.eval.comprehensive import ComprehensiveEvaluator
+    from tpu_deer.eval.evaluator import DEERModelEvaluator
+    from tpu_deer.eval.uncertainty import UncertaintyAnalyzer
+    from tpu_deer.models.deer_model import (
+        DEERModelConfig,
+        count_parameters,
+        create_complete_deer_model,
+    )
+    from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+
+    platform = jax.devices()[0].platform
+    splits = make_synthetic_splits(
+        SyntheticConfig(
+            n_train=args.n_train, n_val=args.n_train // 8,
+            n_test=args.n_train // 8,
+        )
+    )
+    train_ds = ArrayDataset(splits["train"], "synthetic")
+    val_ds = ArrayDataset(splits["val"], "synthetic")
+    test_ds = ArrayDataset(splits["test"], "synthetic")
+
+    config = DEERModelConfig(
+        compute_dtype="bfloat16" if platform == "tpu" else "float32"
+    )
+    model, params = create_complete_deer_model(config, seed=0)
+    n_params = count_parameters(params)
+
+    steps = len(train_ds) // args.batch_size
+    trainer = DEERTrainer(
+        model, params,
+        TrainingConfig(
+            learning_rate=args.lr, batch_size=args.batch_size,
+            num_epochs=args.epochs, warmup_epochs=2, scheduler="cosine",
+            early_stopping_patience=15, val_frequency=2,
+        ),
+        steps_per_epoch=steps,
+    )
+    t0 = time.time()
+    results = trainer.train({"synthetic": train_ds}, {"synthetic": val_ds})
+    train_time = time.time() - t0
+
+    pred = trainer.predict(test_ds)
+    ev = DEERModelEvaluator(n_bootstrap=500).evaluate_arrays(
+        pred["mu"], test_ds.arrays["labels"], pred["uncertainty"], n_params
+    )
+    ua = UncertaintyAnalyzer().analyze(
+        pred["mu"], test_ds.arrays["labels"], pred["uncertainty"],
+        aleatoric=pred["aleatoric"], epistemic=pred["epistemic"],
+    )
+    report = ComprehensiveEvaluator().generate_report(
+        pred["mu"], test_ds.arrays["labels"], pred["uncertainty"],
+        model_name=f"CompleteDEERModel ({platform})",
+    )
+
+    payload = {
+        "platform": platform,
+        "n_params": n_params,
+        "epochs_run": results["epochs_run"],
+        "train_time_s": train_time,
+        "best_val_ccc": results["best_val_ccc"],
+        "test": ev.to_dict(),
+        "uncertainty": {
+            "uncertainty_error_correlation": ua["uncertainty_error_correlation"],
+            "ause": ua["ause"],
+            "decomposition": ua.get("decomposition"),
+        },
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out + ".json", "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+
+    md = [
+        "# Synthetic headline run — computed results",
+        "",
+        f"- platform: **{platform}**, params: {n_params:,} "
+        "(reference model: 3,918,324)",
+        f"- train: {args.n_train} samples, {results['epochs_run']} epochs, "
+        f"{train_time:.1f}s wall",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| CCC valence / arousal / dominance | "
+        f"{ev.ccc['valence']:.3f} / {ev.ccc['arousal']:.3f} / "
+        f"{ev.ccc['dominance']:.3f} |",
+        f"| CCC average | {ev.ccc_average:.3f} |",
+        f"| MAE average | {ev.mae_average:.3f} |",
+        f"| RMSE average | {ev.rmse_average:.3f} |",
+        f"| ECE | {ev.ece:.3f} |",
+        f"| uncertainty-error correlation | "
+        f"{ua['uncertainty_error_correlation']:.3f} |",
+        f"| AUSE | {ua['ause']:.4f} |",
+        f"| CCC 95% CI (valence) | [{ev.confidence_intervals['valence'][0]:.3f},"
+        f" {ev.confidence_intervals['valence'][1]:.3f}] |",
+        "",
+        "```",
+        report,
+        "```",
+    ]
+    with open(args.out + ".md", "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps(payload["test"]["ccc"], indent=2))
+    print("uncertainty-error r:", payload["uncertainty"])
+    print("written:", args.out + ".md")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -207,3 +207,43 @@ class TestVisualization:
         for name, path in paths.items():
             assert os.path.exists(path), name
         assert len(paths) >= 9
+
+
+class TestFactories:
+    def test_create_trainer_factory(self):
+        from tpu_deer.models.deer_model import DEERModelConfig
+        from tpu_deer.train.trainer import TrainingConfig, create_trainer
+
+        trainer = create_trainer(
+            DEERModelConfig(
+                audio_dim=8, video_dim=8, text_dim=8, encoder_dim=16,
+                fusion_dim=32, attention_heads=2, encoder_layers=1,
+            ),
+            TrainingConfig(batch_size=4, num_epochs=1),
+            steps_per_epoch=1,
+        )
+        assert trainer.state is not None
+
+    def test_error_report_on_crash(self, tmp_path, monkeypatch):
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from tpu_deer.cli import MultimodalDEERPipeline
+
+        pipeline = MultimodalDEERPipeline(
+            output_dir=str(tmp_path), experiment_name="crash", quick=True
+        )
+        monkeypatch.setattr(
+            pipeline, "create_model",
+            lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with _pytest.raises(RuntimeError):
+            pipeline.run_full_pipeline()
+        with open(
+            os.path.join(str(tmp_path), "crash", "results", "error_report.json")
+        ) as f:
+            report = json.load(f)
+        assert report["type"] == "RuntimeError"
+        assert "boom" in report["error"]

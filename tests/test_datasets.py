@@ -229,3 +229,24 @@ class TestRegistry:
         from tpu_deer.data.registry import load_configured_datasets
 
         assert load_configured_datasets({"datasets": {"names": [], "paths": {}}}) is None
+
+
+class TestLoaderFactory:
+    def test_create_enhanced_dataloaders(self, iemocap_root, extractor):
+        from tpu_deer.data.loaders import create_enhanced_dataloaders
+
+        datasets, iterators = create_enhanced_dataloaders(
+            iemocap_root, batch_size=2, dataset="iemocap", extractor=extractor
+        )
+        assert set(datasets) == {"train", "val", "test"}
+        batch = next(iter(iterators["test"].epoch(0)))
+        assert batch["audio"].shape == (2, 84)
+        assert "mask" in batch
+
+    def test_unknown_dataset_raises(self):
+        from tpu_deer.data.loaders import create_enhanced_dataloaders
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            create_enhanced_dataloaders("/tmp", dataset="nope")

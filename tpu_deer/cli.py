@@ -283,13 +283,31 @@ class MultimodalDEERPipeline:
 
     def run_full_pipeline(self) -> dict:
         t0 = time.time()
-        self.create_model()
-        self.create_datasets()
-        self.create_trainer()
-        train_results = self.run_training()
-        eval_results = self.run_evaluation()
-        plots = self.run_visualization()
-        report = self.generate_final_report(train_results, eval_results)
+        try:
+            self.create_model()
+            self.create_datasets()
+            self.create_trainer()
+            train_results = self.run_training()
+            eval_results = self.run_evaluation()
+            plots = self.run_visualization()
+            report = self.generate_final_report(train_results, eval_results)
+        except Exception as e:
+            # Crash forensics (reference run_multimodal_deer.py:767-781) —
+            # write the error report, then re-raise: failures stay loud.
+            import traceback
+
+            with open(self.path("results", "error_report.json"), "w") as f:
+                json.dump(
+                    {
+                        "error": str(e),
+                        "type": type(e).__name__,
+                        "traceback": traceback.format_exc(),
+                        "elapsed_s": time.time() - t0,
+                    },
+                    f,
+                    indent=2,
+                )
+            raise
         summary = {
             "experiment_dir": self.experiment_dir,
             "best_val_ccc": train_results["best_val_ccc"],

@@ -463,6 +463,27 @@ class DEERTrainer:
         return {k: np.concatenate(v)[mask] for k, v in outs.items()}
 
 
+def create_trainer(
+    model_config: Optional[DEERModelConfig] = None,
+    training_config: Optional[TrainingConfig] = None,
+    steps_per_epoch: int = 100,
+    mesh=None,
+    seed: int = 42,
+) -> DEERTrainer:
+    """Factory: build model + trainer in one call (parity with reference
+    create_trainer, training.py:510-535 — device selection is implicit in
+    JAX; pass a mesh for multi-chip)."""
+    from tpu_deer.models.deer_model import create_complete_deer_model
+
+    model_config = model_config or DEERModelConfig()
+    training_config = training_config or TrainingConfig(seed=seed)
+    model, params = create_complete_deer_model(model_config, seed=seed)
+    return DEERTrainer(
+        model, params, training_config, steps_per_epoch=steps_per_epoch,
+        mesh=mesh,
+    )
+
+
 def run_complete_training_pipeline(
     model_config: Optional[DEERModelConfig] = None,
     training_config: Optional[TrainingConfig] = None,
