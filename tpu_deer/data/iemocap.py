@@ -23,7 +23,6 @@ speakers split 80/20 into train/val, session 5 is the test set.
 from __future__ import annotations
 
 import logging
-import os
 import re
 from pathlib import Path
 from typing import Optional

@@ -9,8 +9,6 @@ BatchIterators per split, ready for DEERTrainer.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from tpu_deer.data.pipeline import ArrayDataset, BatchIterator
 
 

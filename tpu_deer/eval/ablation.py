@@ -11,7 +11,7 @@ full metric bundle is reported per subset.
 from __future__ import annotations
 
 import logging
-from typing import Mapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Mapping, Optional
+from typing import Optional
 
 import numpy as np
 

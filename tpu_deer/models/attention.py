@@ -15,7 +15,7 @@ attention needed here. The MHA module is written general (einsum over
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

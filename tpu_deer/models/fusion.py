@@ -18,7 +18,7 @@ Behavioral parity with the reference's two fusion stacks:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

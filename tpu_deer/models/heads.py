@@ -17,7 +17,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tpu_deer.core.nig import NIGParams, nig_params_from_evidence, nig_uncertainties
+from tpu_deer.core.nig import nig_params_from_evidence, nig_uncertainties
 from tpu_deer.models.layers import MLP
 
 Dtype = Any

@@ -10,7 +10,6 @@ Verified exact against single-device computation in tests/test_parallel.py.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from tpu_deer.core.metrics import CCCStats, ccc_sufficient_stats
 
