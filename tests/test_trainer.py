@@ -155,7 +155,7 @@ class TestCurriculum:
             "b": BatchIterator(ds, 64, drop_last=True, seed=1),
         }
         batches = list(trainer._multi_dataset_iterator(iters, epoch=0))
-        names = [n for n, _ in batches]
+        names = [n for n, _, _ in batches]
         assert len(batches) == 8  # 4 + 4
         assert set(names) == {"a", "b"}
 

@@ -65,7 +65,11 @@ class BatchIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch: Optional[int] = None) -> Iterator[dict[str, np.ndarray]]:
+    def epoch_indices(
+        self, epoch: Optional[int] = None
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield (index [B] int32, mask [B] float32) per batch — the host→
+        device payload when the dataset itself is staged on device."""
         if epoch is None:
             epoch = self._epoch
             self._epoch += 1
@@ -82,6 +86,10 @@ class BatchIterator:
                 pad = self.batch_size - len(idx)
                 mask[len(idx) :] = 0.0
                 idx = np.concatenate([idx, order[:pad]])
+            yield idx.astype(np.int32), mask
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[dict[str, np.ndarray]]:
+        for idx, mask in self.epoch_indices(epoch):
             batch = self.dataset.slice(idx)
             batch["mask"] = mask
             yield batch

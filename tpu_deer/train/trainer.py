@@ -130,10 +130,42 @@ class DEERTrainer:
         }
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        # Device-resident data: datasets are staged in HBM once and batches
+        # are gathered ON DEVICE from a tiny [B] int32 index vector — the
+        # host→device path carries indices, not features. (Single-device
+        # path; under a mesh, batches are host-sharded over 'data' instead.)
+        self._gather = jax.jit(
+            lambda data, idx: {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        )
+        self._staged: dict[int, dict] = {}
         # reduce-on-plateau host state
         self._plateau_scale = 1.0
         self._plateau_best = -np.inf
         self._plateau_wait = 0
+
+    # -- device-resident data ----------------------------------------------
+    def _stage(self, dataset: ArrayDataset) -> Optional[dict]:
+        """Put a dataset's model-input arrays on device once (≤ ~1 GB)."""
+        if self.mesh is not None:
+            return None
+        key = id(dataset)
+        if key not in self._staged:
+            arrays = {
+                k: v
+                for k, v in dataset.arrays.items()
+                if k in ("audio", "video", "text", "labels")
+            }
+            nbytes = sum(v.nbytes for v in arrays.values())
+            if nbytes > 1_000_000_000:
+                return None
+            self._staged[key] = {k: jax.device_put(v) for k, v in arrays.items()}
+        return self._staged[key]
+
+    def _device_batch(self, dataset: ArrayDataset, idx: np.ndarray) -> Optional[dict]:
+        staged = self._stage(dataset)
+        if staged is None:
+            return None
+        return self._gather(staged, jnp.asarray(idx))
 
     # -- optimizer ---------------------------------------------------------
     def _build_schedule(self) -> Callable[[int], float]:
@@ -302,11 +334,11 @@ class DEERTrainer:
         return mix / mix.sum()
 
     def _multi_dataset_iterator(self, iterators: dict, epoch: int):
-        """Probabilistically interleave batches from several datasets
-        (reference training.py:472-484)."""
+        """Probabilistically interleave batch INDICES from several datasets
+        (reference training.py:472-484). Yields (name, idx, mask)."""
         names = list(iterators.keys())
         probs = self._curriculum_probabilities(names, epoch)
-        streams = {n: iter(it.epoch(epoch)) for n, it in iterators.items()}
+        streams = {n: iter(it.epoch_indices(epoch)) for n, it in iterators.items()}
         total = sum(len(it) for it in iterators.values())
         rng = np.random.default_rng(self.config.seed * 100003 + epoch)
         produced = 0
@@ -316,22 +348,31 @@ class DEERTrainer:
             p = p / p.sum()
             name = rng.choice(live, p=p)
             try:
-                yield name, next(streams[name])
+                idx, mask = next(streams[name])
+                yield name, idx, mask
                 produced += 1
             except StopIteration:
                 del streams[name]
+
+    def _batch_from_indices(self, dataset: ArrayDataset, idx: np.ndarray):
+        """Device gather when the dataset is staged; host slice otherwise."""
+        device_batch = self._device_batch(dataset, idx)
+        if device_batch is not None:
+            return device_batch
+        return self._put(dataset.slice(idx))
 
     # -- epochs ------------------------------------------------------------
     def train_epoch(self, train_iterators: dict, epoch: int) -> dict[str, float]:
         totals: dict[str, float] = {}
         count = 0
-        for name, batch in self._multi_dataset_iterator(train_iterators, epoch):
+        for name, idx, _ in self._multi_dataset_iterator(train_iterators, epoch):
             weight = jnp.asarray(
                 self.config.dataset_weights.get(name.lower(), 1.0), dtype=jnp.float32
             )
+            batch = self._batch_from_indices(train_iterators[name].dataset, idx)
             self.state, aux = self._train_step(
                 self.state,
-                self._put(batch),
+                batch,
                 weight,
                 jnp.asarray(self._plateau_scale, dtype=jnp.float32),
             )
@@ -343,11 +384,12 @@ class DEERTrainer:
     def validate_epoch(self, val_iterators: dict) -> dict[str, float]:
         preds, targets, uncs, losses_ = [], [], [], []
         for name, it in val_iterators.items():
-            for batch in it.epoch(0):
-                out = self._eval_step(self.state.params, self._put(batch))
-                mask = batch["mask"].astype(bool)
+            for idx, mask_arr in it.epoch_indices(0):
+                batch = self._batch_from_indices(it.dataset, idx)
+                out = self._eval_step(self.state.params, batch)
+                mask = mask_arr.astype(bool)
                 preds.append(np.asarray(out["mu"])[mask])
-                targets.append(batch["labels"][mask])
+                targets.append(it.dataset.arrays["labels"][idx][mask])
                 uncs.append(np.asarray(out["uncertainty"])[mask])
                 losses_.append(float(out["loss"]))
         preds = np.concatenate(preds)
@@ -454,9 +496,10 @@ class DEERTrainer:
         it = BatchIterator(dataset, batch_size or self.config.batch_size, shuffle=False)
         outs: dict[str, list] = {}
         masks = []
-        for batch in it.epoch(0):
-            out = self._eval_step(self.state.params, self._put(batch))
-            masks.append(batch["mask"].astype(bool))
+        for idx, mask_arr in it.epoch_indices(0):
+            batch = self._batch_from_indices(dataset, idx)
+            out = self._eval_step(self.state.params, batch)
+            masks.append(mask_arr.astype(bool))
             for k in ("mu", "uncertainty", "calibrated_uncertainty", "aleatoric", "epistemic"):
                 outs.setdefault(k, []).append(np.asarray(out[k]))
         mask = np.concatenate(masks)
