@@ -80,6 +80,13 @@ def main(argv=None) -> int:
     ev = DEERModelEvaluator(n_bootstrap=500).evaluate_arrays(
         pred["mu"], test_ds.arrays["labels"], pred["uncertainty"], n_params
     )
+    # ECE with the learned calibration layer's output (the deployable
+    # uncertainty) vs raw NIG total uncertainty.
+    from tpu_deer.core.metrics import ece_np
+
+    ece_calibrated = ece_np(
+        pred["mu"], test_ds.arrays["labels"], pred["calibrated_uncertainty"]
+    )
     ua = UncertaintyAnalyzer().analyze(
         pred["mu"], test_ds.arrays["labels"], pred["uncertainty"],
         aleatoric=pred["aleatoric"], epistemic=pred["epistemic"],
@@ -96,6 +103,7 @@ def main(argv=None) -> int:
         "train_time_s": train_time,
         "best_val_ccc": results["best_val_ccc"],
         "test": ev.to_dict(),
+        "ece_calibrated": float(ece_calibrated),
         "uncertainty": {
             "uncertainty_error_correlation": ua["uncertainty_error_correlation"],
             "ause": ua["ause"],
@@ -122,7 +130,8 @@ def main(argv=None) -> int:
         f"| CCC average | {ev.ccc_average:.3f} |",
         f"| MAE average | {ev.mae_average:.3f} |",
         f"| RMSE average | {ev.rmse_average:.3f} |",
-        f"| ECE | {ev.ece:.3f} |",
+        f"| ECE (raw NIG uncertainty) | {ev.ece:.3f} |",
+        f"| ECE (calibrated uncertainty) | {ece_calibrated:.3f} |",
         f"| uncertainty-error correlation | "
         f"{ua['uncertainty_error_correlation']:.3f} |",
         f"| AUSE | {ua['ause']:.4f} |",

@@ -156,3 +156,39 @@ class TestBundlesAndStats:
         )
         assert metrics.cross_dataset_transfer_effectiveness(0.0, 0.5) == 0.0
         assert metrics.cross_dataset_transfer_effectiveness(0.5, 0.9) == 1.0
+
+
+class TestNumpyTwins:
+    """The host-facing numpy fast paths must equal the jnp implementations."""
+
+    def test_ccc_np_matches_jnp(self, rng):
+        x = rng.normal(size=400)
+        y = 0.6 * x + 0.4 * rng.normal(size=400)
+        assert np.isclose(
+            metrics.ccc_np(x, y),
+            float(metrics.concordance_correlation_coefficient(x, y)),
+            rtol=1e-5,
+        )
+
+    def test_pearson_np_matches_jnp(self, rng):
+        x = rng.normal(size=300)
+        y = x + rng.normal(size=300)
+        assert np.isclose(
+            metrics.pearson_np(x, y),
+            float(metrics.pearson_correlation(x, y)),
+            rtol=1e-5,
+        )
+
+    def test_ece_np_matches_jnp(self, rng):
+        preds = rng.normal(size=(300, 3))
+        targets = preds + 0.2 * rng.normal(size=(300, 3))
+        unc = np.abs(rng.normal(size=(300, 3))) + 0.01
+        assert np.isclose(
+            metrics.ece_np(preds, targets, unc),
+            float(metrics.uncertainty_calibration_error(preds, targets, unc)),
+            rtol=1e-3,
+            atol=1e-5,
+        )
+
+    def test_ece_np_too_few_samples(self):
+        assert metrics.ece_np(np.ones(3), np.ones(3), np.ones(3)) == 1.0

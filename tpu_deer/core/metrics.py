@@ -182,6 +182,72 @@ def uncertainty_calibration_error(
     return jnp.where(jnp.sum(mask) < n_bins, 1.0, ece)
 
 
+# ---------------------------------------------------------------------------
+# Host-facing numpy fast paths.
+#
+# The jnp functions above run eagerly when called from host code: every op is
+# a separate device dispatch, which is slow through a remote-TPU tunnel. The
+# _np twins compute identical values in pure numpy and back the convenience
+# bundles; the jnp versions remain the in-graph (jit/psum) implementations.
+# ---------------------------------------------------------------------------
+def ccc_np(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    x = np.asarray(y_true, dtype=np.float64).ravel()
+    y = np.asarray(y_pred, dtype=np.float64).ravel()
+    mask = np.isfinite(x) & np.isfinite(y)
+    if mask.sum() == 0:
+        return 0.0
+    x, y = x[mask], y[mask]
+    mx, my = x.mean(), y.mean()
+    vx, vy = x.var(), y.var()
+    cov = (x * y).mean() - mx * my
+    denom = vx + vy + (mx - my) ** 2
+    return float(2.0 * cov / denom) if abs(denom) > EPS else 0.0
+
+
+def pearson_np(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, dtype=np.float64).ravel()
+    b = np.asarray(b, dtype=np.float64).ravel()
+    mask = np.isfinite(a) & np.isfinite(b)
+    if mask.sum() < 2:
+        return 0.0
+    a, b = a[mask], b[mask]
+    denom = a.std() * b.std()
+    return float(((a - a.mean()) * (b - b.mean())).mean() / denom) if denom > EPS else 0.0
+
+
+def ece_np(
+    predictions: np.ndarray,
+    targets: np.ndarray,
+    uncertainties: np.ndarray,
+    n_bins: int = 10,
+) -> float:
+    """Numpy twin of uncertainty_calibration_error (same binning/values)."""
+    errors = np.abs(np.asarray(predictions) - np.asarray(targets))
+    unc = np.asarray(uncertainties, dtype=np.float64)
+    if errors.ndim > 1:
+        errors = errors.mean(axis=tuple(range(1, errors.ndim)))
+        unc = unc.mean(axis=tuple(range(1, unc.ndim)))
+    errors = errors.ravel()
+    unc = unc.ravel()
+    mask = np.isfinite(errors) & np.isfinite(unc)
+    if mask.sum() < n_bins:
+        return 1.0
+    errors, unc = errors[mask], unc[mask]
+    edges = np.quantile(unc, np.linspace(0, 1, n_bins + 1))
+    edges[0] = 0.0
+    edges[-1] = unc.max() + 1e-6
+    ece = 0.0
+    total = len(errors)
+    for i in range(n_bins):
+        sel = (unc >= edges[i]) & (unc < edges[i + 1])
+        if sel.sum() == 0:
+            continue
+        avg_conf = 1.0 - unc[sel].mean()
+        avg_acc = 1.0 - errors[sel].mean()
+        ece += (sel.sum() / total) * abs(avg_conf - avg_acc)
+    return float(ece)
+
+
 def evaluate_predictions(
     predictions: np.ndarray,
     targets: np.ndarray,
@@ -190,7 +256,8 @@ def evaluate_predictions(
 ) -> dict[str, float]:
     """Full per-dimension metric bundle (reference metrics.py:137-188).
 
-    Host-facing convenience: accepts numpy, returns plain floats.
+    Host-facing convenience: accepts numpy, returns plain floats. Pure numpy
+    (no device dispatch) — values match the jnp implementations (tested).
     """
     predictions = np.asarray(predictions)
     targets = np.asarray(targets)
@@ -201,11 +268,12 @@ def evaluate_predictions(
     results: dict[str, float] = {}
     cccs, maes, rmses = [], [], []
     for i, name in enumerate(dim_names[: predictions.shape[1]]):
-        ccc = float(
-            concordance_correlation_coefficient(targets[:, i], predictions[:, i])
-        )
-        mae = float(mean_absolute_error(targets[:, i], predictions[:, i]))
-        rmse = float(root_mean_squared_error(targets[:, i], predictions[:, i]))
+        t, p = targets[:, i], predictions[:, i]
+        valid = np.isfinite(t) & np.isfinite(p)
+        err = np.abs(t[valid] - p[valid])
+        ccc = ccc_np(t, p)
+        mae = float(err.mean()) if err.size else float("inf")
+        rmse = float(np.sqrt((err**2).mean())) if err.size else float("inf")
         results[f"ccc_{name}"] = ccc
         results[f"mae_{name}"] = mae
         results[f"rmse_{name}"] = rmse
@@ -217,17 +285,13 @@ def evaluate_predictions(
     results["rmse_average"] = float(np.mean(rmses))
 
     if uncertainties is not None:
-        results["ece"] = float(
-            uncertainty_calibration_error(predictions, targets, uncertainties)
-        )
+        results["ece"] = ece_np(predictions, targets, uncertainties)
         # Uncertainty-error correlation (reference evaluation.py:407-425).
         err = np.abs(predictions - targets).mean(axis=1)
         unc = np.asarray(uncertainties)
         if unc.ndim > 1:
             unc = unc.mean(axis=1)
-        results["uncertainty_error_correlation"] = float(
-            pearson_correlation(err, unc)
-        )
+        results["uncertainty_error_correlation"] = pearson_np(err, unc)
     return results
 
 

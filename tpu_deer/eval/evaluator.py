@@ -94,32 +94,27 @@ class DEERModelEvaluator:
         cis = {}
         for i, name in enumerate(DIMS[: predictions.shape[1]]):
             p, t = predictions[:, i], targets[:, i]
-            ccc[name] = float(metrics_lib.concordance_correlation_coefficient(t, p))
-            mae[name] = float(metrics_lib.mean_absolute_error(t, p))
-            rmse[name] = float(metrics_lib.root_mean_squared_error(t, p))
+            err = np.abs(t - p)
+            ccc[name] = metrics_lib.ccc_np(t, p)
+            mae[name] = float(err.mean())
+            rmse[name] = float(np.sqrt((err**2).mean()))
             if self.n_bootstrap > 0:
                 cis[name] = bootstrap_ccc_ci(
                     t, p, n_resamples=self.n_bootstrap,
                     confidence=self.bootstrap_ci, seed=self.seed,
                 )
             if uncertainties is not None:
-                ece_dim[name] = float(
-                    metrics_lib.uncertainty_calibration_error(
-                        p[:, None], t[:, None], uncertainties[:, i : i + 1]
-                    )
+                ece_dim[name] = metrics_lib.ece_np(
+                    p[:, None], t[:, None], uncertainties[:, i : i + 1]
                 )
 
         ece = 1.0
         unc_err_corr = 0.0
         if uncertainties is not None:
-            ece = float(
-                metrics_lib.uncertainty_calibration_error(
-                    predictions, targets, uncertainties
-                )
-            )
+            ece = metrics_lib.ece_np(predictions, targets, uncertainties)
             err = np.abs(predictions - targets).mean(axis=1)
             unc = np.asarray(uncertainties).mean(axis=1)
-            unc_err_corr = float(metrics_lib.pearson_correlation(err, unc))
+            unc_err_corr = metrics_lib.pearson_np(err, unc)
 
         return EvaluationResults(
             ccc=ccc,

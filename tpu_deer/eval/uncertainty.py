@@ -64,17 +64,15 @@ class UncertaintyAnalyzer:
         per_dim_corr = {}
         dims = ("valence", "arousal", "dominance")
         for i in range(predictions.shape[1]):
-            per_dim_corr[dims[i] if i < 3 else f"dim_{i}"] = float(
-                metrics_lib.pearson_correlation(errors[:, i], uncertainties[:, i])
+            per_dim_corr[dims[i] if i < 3 else f"dim_{i}"] = metrics_lib.pearson_np(
+                errors[:, i], uncertainties[:, i]
             )
 
         spars = sparsification_curve(errors.mean(axis=1), uncertainties.mean(axis=1))
 
         out = {
-            "uncertainty_error_correlation": float(
-                metrics_lib.pearson_correlation(
-                    errors.mean(axis=1), uncertainties.mean(axis=1)
-                )
+            "uncertainty_error_correlation": metrics_lib.pearson_np(
+                errors.mean(axis=1), uncertainties.mean(axis=1)
             ),
             "per_dim_correlation": per_dim_corr,
             "ause": spars["ause"],
