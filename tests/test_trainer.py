@@ -200,3 +200,31 @@ class TestBF16:
         results = trainer.train(train, val)
         assert np.isfinite(results["history"]["train_loss"][-1])
         assert results["best_val_ccc"] > -0.5
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self):
+        """jax.checkpoint must not change the computed loss."""
+        import jax.numpy as jnp
+
+        train, _ = _datasets()
+        ds = train["synthetic"]
+        model, p1 = create_complete_deer_model(SMALL_MODEL, seed=0)
+        _, p2 = create_complete_deer_model(SMALL_MODEL, seed=0)
+        t_plain = DEERTrainer(
+            model, p1, TrainingConfig(batch_size=64, num_epochs=1, seed=0),
+            steps_per_epoch=4,
+        )
+        t_remat = DEERTrainer(
+            model, p2,
+            TrainingConfig(batch_size=64, num_epochs=1, seed=0, remat=True),
+            steps_per_epoch=4,
+        )
+        idx = np.arange(64)
+        b1 = t_plain._batch_from_indices(ds, idx)
+        b2 = t_remat._batch_from_indices(ds, idx)
+        w = jnp.asarray(1.0)
+        s = jnp.asarray(1.0)
+        _, aux1 = t_plain._train_step(t_plain.state, b1, w, s)
+        _, aux2 = t_remat._train_step(t_remat.state, b2, w, s)
+        assert np.isclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5)

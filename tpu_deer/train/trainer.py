@@ -67,6 +67,9 @@ class TrainingConfig:
     evidence_weight: float = 1.0
     kl_weight: float = 0.1
     calibration_alignment_weight: float = 0.05
+    # Rematerialize the forward under grad (jax.checkpoint): trades FLOPs for
+    # activation memory — irrelevant at 4M params, essential at scale.
+    remat: bool = False
     seed: int = 42
 
 
@@ -206,14 +209,20 @@ class DEERTrainer:
     # -- loss ----------------------------------------------------------------
     def _loss_fn(self, params, batch, dropout_rng, dataset_weight):
         cfg = self.config
-        out = self.model.apply(
-            {"params": params},
-            batch["audio"],
-            batch["video"],
-            batch["text"],
-            deterministic=False,
-            rngs={"dropout": dropout_rng},
-        )
+
+        def forward(params, audio, video, text):
+            return self.model.apply(
+                {"params": params},
+                audio,
+                video,
+                text,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+
+        if cfg.remat:
+            forward = jax.checkpoint(forward)
+        out = forward(params, batch["audio"], batch["video"], batch["text"])
         dim_names = self.model.config.dim_names
         ps = [out[f"{n}_params"] for n in dim_names]
         y = batch["labels"]
