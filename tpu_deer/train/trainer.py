@@ -372,35 +372,48 @@ class DEERTrainer:
 
     # -- epochs ------------------------------------------------------------
     def train_epoch(self, train_iterators: dict, epoch: int) -> dict[str, float]:
-        totals: dict[str, float] = {}
-        count = 0
-        for name, idx, _ in self._multi_dataset_iterator(train_iterators, epoch):
-            weight = jnp.asarray(
-                self.config.dataset_weights.get(name.lower(), 1.0), dtype=jnp.float32
+        # Keep the step loop async: aux values stay on device and are pulled
+        # once at epoch end (a per-step float() would force a device sync —
+        # hundreds of needless round trips per epoch).
+        aux_list: list[dict] = []
+        lr_scale = jnp.asarray(self._plateau_scale, dtype=jnp.float32)
+        weights = {
+            name: jnp.asarray(
+                self.config.dataset_weights.get(name.lower(), 1.0),
+                dtype=jnp.float32,
             )
+            for name in train_iterators
+        }
+        for name, idx, _ in self._multi_dataset_iterator(train_iterators, epoch):
             batch = self._batch_from_indices(train_iterators[name].dataset, idx)
             self.state, aux = self._train_step(
-                self.state,
-                batch,
-                weight,
-                jnp.asarray(self._plateau_scale, dtype=jnp.float32),
+                self.state, batch, weights[name], lr_scale
             )
-            count += 1
-            for k, v in aux.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-        return {k: v / max(1, count) for k, v in totals.items()}
+            aux_list.append(aux)
+        if not aux_list:
+            return {}
+        aux_host = jax.device_get(aux_list)
+        keys = aux_host[0].keys()
+        return {k: float(np.mean([a[k] for a in aux_host])) for k in keys}
 
     def validate_epoch(self, val_iterators: dict) -> dict[str, float]:
-        preds, targets, uncs, losses_ = [], [], [], []
+        # Dispatch all eval batches first; one device_get at the end.
+        pending = []
         for name, it in val_iterators.items():
             for idx, mask_arr in it.epoch_indices(0):
                 batch = self._batch_from_indices(it.dataset, idx)
                 out = self._eval_step(self.state.params, batch)
-                mask = mask_arr.astype(bool)
-                preds.append(np.asarray(out["mu"])[mask])
-                targets.append(it.dataset.arrays["labels"][idx][mask])
-                uncs.append(np.asarray(out["uncertainty"])[mask])
-                losses_.append(float(out["loss"]))
+                pending.append((out, it.dataset.arrays["labels"][idx], mask_arr))
+        host_outs = jax.device_get([p[0] for p in pending])
+        preds, targets, uncs, losses_ = [], [], [], []
+        for out, labels, mask_arr in zip(
+            host_outs, (p[1] for p in pending), (p[2] for p in pending)
+        ):
+            mask = mask_arr.astype(bool)
+            preds.append(np.asarray(out["mu"])[mask])
+            targets.append(labels[mask])
+            uncs.append(np.asarray(out["uncertainty"])[mask])
+            losses_.append(float(out["loss"]))
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)
         uncs = np.concatenate(uncs)
