@@ -27,6 +27,7 @@ def main(argv=None) -> int:
     p.add_argument("--n_train", type=int, default=20000)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--calibration_weight", type=float, default=0.15)
     p.add_argument("--out", default="experiments/RESULTS_synthetic")
     args = p.parse_args(argv)
 
@@ -69,6 +70,7 @@ def main(argv=None) -> int:
             learning_rate=args.lr, batch_size=args.batch_size,
             num_epochs=args.epochs, warmup_epochs=2, scheduler="cosine",
             early_stopping_patience=15, val_frequency=2,
+            calibration_alignment_weight=args.calibration_weight,
         ),
         steps_per_epoch=steps,
     )
@@ -87,6 +89,22 @@ def main(argv=None) -> int:
     ece_calibrated = ece_np(
         pred["mu"], test_ds.arrays["labels"], pred["calibrated_uncertainty"]
     )
+    # Post-hoc scalar scale fit on the VALIDATION split (standard temperature-
+    # style calibration; test stays untouched by the fit).
+    val_pred = trainer.predict(val_ds)
+    scales = np.logspace(-1.0, 1.0, 81)
+    val_eces = [
+        ece_np(
+            val_pred["mu"], val_ds.arrays["labels"],
+            s * val_pred["calibrated_uncertainty"],
+        )
+        for s in scales
+    ]
+    best_scale = float(scales[int(np.argmin(val_eces))])
+    ece_posthoc = ece_np(
+        pred["mu"], test_ds.arrays["labels"],
+        best_scale * pred["calibrated_uncertainty"],
+    )
     ua = UncertaintyAnalyzer().analyze(
         pred["mu"], test_ds.arrays["labels"], pred["uncertainty"],
         aleatoric=pred["aleatoric"], epistemic=pred["epistemic"],
@@ -104,6 +122,8 @@ def main(argv=None) -> int:
         "best_val_ccc": results["best_val_ccc"],
         "test": ev.to_dict(),
         "ece_calibrated": float(ece_calibrated),
+        "ece_posthoc": float(ece_posthoc),
+        "posthoc_scale": best_scale,
         "uncertainty": {
             "uncertainty_error_correlation": ua["uncertainty_error_correlation"],
             "ause": ua["ause"],
@@ -132,6 +152,7 @@ def main(argv=None) -> int:
         f"| RMSE average | {ev.rmse_average:.3f} |",
         f"| ECE (raw NIG uncertainty) | {ev.ece:.3f} |",
         f"| ECE (calibrated uncertainty) | {ece_calibrated:.3f} |",
+        f"| ECE (+ post-hoc scale fit on val) | {ece_posthoc:.3f} |",
         f"| uncertainty-error correlation | "
         f"{ua['uncertainty_error_correlation']:.3f} |",
         f"| AUSE | {ua['ause']:.4f} |",
