@@ -405,7 +405,7 @@ class DEERTrainer:
                 out = self._eval_step(self.state.params, batch)
                 pending.append((out, it.dataset.arrays["labels"][idx], mask_arr))
         host_outs = jax.device_get([p[0] for p in pending])
-        preds, targets, uncs, losses_ = [], [], [], []
+        preds, targets, uncs, cal_uncs, losses_ = [], [], [], [], []
         for out, labels, mask_arr in zip(
             host_outs, (p[1] for p in pending), (p[2] for p in pending)
         ):
@@ -413,11 +413,15 @@ class DEERTrainer:
             preds.append(np.asarray(out["mu"])[mask])
             targets.append(labels[mask])
             uncs.append(np.asarray(out["uncertainty"])[mask])
+            cal_uncs.append(np.asarray(out["calibrated_uncertainty"])[mask])
             losses_.append(float(out["loss"]))
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)
         uncs = np.concatenate(uncs)
         results = metrics_lib.evaluate_predictions(preds, targets, uncs)
+        results["ece_calibrated"] = metrics_lib.ece_np(
+            preds, targets, np.concatenate(cal_uncs)
+        )
         results["val_loss"] = float(np.mean(losses_))
         return results
 
