@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tpu_deer.models.layers import MLP
@@ -26,12 +27,19 @@ Dtype = Any
 
 
 class MultiHeadAttention(nn.Module):
-    """Scaled-dot-product multi-head attention over [B, T, D] with optional mask."""
+    """Scaled-dot-product multi-head attention over [B, T, D] with optional mask.
+
+    use_flash=True routes through the blocked Pallas flash-attention kernel
+    (tpu_deer.ops.flash_attention) — O(T·D) memory for long sequences. The
+    flash path supports key-padding masks ([B, 1, 1, Tk] or [B, Tk]) and
+    skips attention-prob dropout (standard for flash kernels).
+    """
 
     feature_dim: int
     num_heads: int = 8
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, *, deterministic: bool = True):
@@ -47,15 +55,27 @@ class MultiHeadAttention(nn.Module):
         k = split_heads(nn.Dense(self.feature_dim, dtype=self.dtype, name="k_proj")(key), tk)
         v = split_heads(nn.Dense(self.feature_dim, dtype=self.dtype, name="v_proj")(value), tk)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(head_dim, dtype=q.dtype)
-        )
-        if mask is not None:
-            scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
-        attn = nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        if self.use_flash:
+            from tpu_deer.ops.flash_attention import flash_attention
 
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            kv_mask = None
+            if mask is not None:
+                kv_mask = mask.reshape(b, -1, tk)[:, -1, :].astype(jnp.float32)
+            out = flash_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), kv_mask,
+                interpret=jax.default_backend() not in ("tpu",),
+            ).astype(q.dtype)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(head_dim, dtype=q.dtype)
+            )
+            if mask is not None:
+                scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+            attn = nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.feature_dim)
         return nn.Dense(self.feature_dim, dtype=self.dtype, name="out_proj")(out)
 
