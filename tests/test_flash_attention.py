@@ -106,3 +106,25 @@ class TestMHAFlashPath:
         np.testing.assert_allclose(
             np.asarray(ref), np.asarray(got), rtol=2e-3, atol=2e-3
         )
+
+
+class TestTextEncoderFlash:
+    def test_text_encoder_flash_matches(self, rng):
+        from tpu_deer.models.encoders import TextSequenceEncoder
+
+        ids = jnp.asarray(rng.integers(0, 100, size=(2, 40)), dtype=jnp.int32)
+        mask = jnp.ones((2, 40), dtype=jnp.int32).at[:, 30:].set(0)
+        enc = TextSequenceEncoder(
+            vocab_size=100, output_dim=32, model_dim=32, num_layers=1,
+            num_heads=4, dropout=0.0,
+        )
+        params = enc.init(jax.random.PRNGKey(0), ids, mask)["params"]
+        ref, _ = enc.apply({"params": params}, ids, mask)
+        enc_flash = TextSequenceEncoder(
+            vocab_size=100, output_dim=32, model_dim=32, num_layers=1,
+            num_heads=4, dropout=0.0, use_flash=True,
+        )
+        got, _ = enc_flash.apply({"params": params}, ids, mask)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=5e-3, atol=5e-3
+        )

@@ -257,13 +257,14 @@ class UnifiedSequenceEncoder(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Pre-norm transformer encoder block."""
+    """Pre-norm transformer encoder block (use_flash → Pallas attention)."""
 
     dim: int
     num_heads: int = 8
     mlp_ratio: int = 4
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -271,9 +272,10 @@ class TransformerBlock(nn.Module):
         attn_mask = None
         if mask is not None:
             attn_mask = mask[:, None, None, :]  # [B, 1, 1, T]
-        h = MultiHeadAttention(self.dim, self.num_heads, self.dropout, self.dtype)(
-            h, h, h, mask=attn_mask, deterministic=deterministic
-        )
+        h = MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout, self.dtype,
+            use_flash=self.use_flash,
+        )(h, h, h, mask=attn_mask, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = MLP(
@@ -308,6 +310,7 @@ class TextSequenceEncoder(nn.Module):
     num_heads: int = 8
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    use_flash: bool = False  # Pallas flash attention for long transcripts
 
     @nn.compact
     def __call__(self, token_ids, mask=None, *, deterministic: bool = True):
@@ -321,7 +324,7 @@ class TextSequenceEncoder(nn.Module):
         for i in range(self.num_layers):
             x = TransformerBlock(
                 self.model_dim, self.num_heads, dropout=self.dropout,
-                dtype=self.dtype, name=f"block_{i}",
+                dtype=self.dtype, use_flash=self.use_flash, name=f"block_{i}",
             )(x, bool_mask, deterministic=deterministic)
         pooled, attn = AttentionPooling(self.model_dim, self.dtype, name="pool")(
             x, bool_mask
