@@ -228,3 +228,35 @@ class TestRemat:
         _, aux1 = t_plain._train_step(t_plain.state, b1, w, s)
         _, aux2 = t_remat._train_step(t_remat.state, b2, w, s)
         assert np.isclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5)
+
+
+class TestFusedEpoch:
+    def test_fused_matches_perstep(self):
+        """fused_epochs=True must produce the same training trajectory as the
+        per-step path (same RNG splits, same batch order)."""
+        train, val = _datasets()
+        model, p1 = create_complete_deer_model(SMALL_MODEL, seed=0)
+        _, p2 = create_complete_deer_model(SMALL_MODEL, seed=0)
+        base = dict(
+            learning_rate=5e-3, batch_size=64, num_epochs=2, warmup_epochs=0,
+            scheduler="constant", seed=0,
+        )
+        t_step = DEERTrainer(
+            model, p1, TrainingConfig(fused_epochs=False, **base),
+            steps_per_epoch=4,
+        )
+        t_fused = DEERTrainer(
+            model, p2, TrainingConfig(fused_epochs=True, **base),
+            steps_per_epoch=4,
+        )
+        r_step = t_step.train(train, val)
+        r_fused = t_fused.train(train, val)
+        np.testing.assert_allclose(
+            r_step["history"]["train_loss"],
+            r_fused["history"]["train_loss"],
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            r_step["history"]["val_ccc"], r_fused["history"]["val_ccc"],
+            rtol=1e-3, atol=1e-4,
+        )

@@ -70,6 +70,10 @@ class TrainingConfig:
     # Rematerialize the forward under grad (jax.checkpoint): trades FLOPs for
     # activation memory — irrelevant at 4M params, essential at scale.
     remat: bool = False
+    # Fuse a whole epoch into one lax.scan dispatch (needs device-resident
+    # data). None = auto: on for TPU (dispatch-latency-bound), off for CPU
+    # (compile cost dominates the tiny test runs).
+    fused_epochs: Optional[bool] = None
     seed: int = 42
 
 
@@ -141,6 +145,12 @@ class DEERTrainer:
             lambda data, idx: {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
         )
         self._staged: dict[int, dict] = {}
+        # Fused epoch: with device-resident data, an entire epoch of steps
+        # runs as ONE lax.scan dispatch (gather → grad → update per step) —
+        # the host sends one [n_steps, B] index matrix instead of n_steps
+        # round trips. Crucial when dispatch latency >> step compute.
+        self._fused_epoch = jax.jit(self._fused_epoch_impl, donate_argnums=(0,))
+        self._combined_cache: dict[tuple, tuple] = {}
         # reduce-on-plateau host state
         self._plateau_scale = 1.0
         self._plateau_best = -np.inf
@@ -169,6 +179,45 @@ class DEERTrainer:
         if staged is None:
             return None
         return self._gather(staged, jnp.asarray(idx))
+
+    def _stage_combined(self, datasets: Mapping[str, ArrayDataset]):
+        """Concatenate several datasets into one staged array set + offsets
+        (so a fused epoch can gather across datasets with global indices).
+        Returns (staged_dict, offsets) or None if too large / mesh active."""
+        if self.mesh is not None:
+            return None
+        key = tuple(sorted((n, id(d)) for n, d in datasets.items()))
+        if key in self._combined_cache:
+            return self._combined_cache[key]
+        names = sorted(datasets)
+        arrays: dict[str, list] = {}
+        offsets: dict[str, int] = {}
+        total = 0
+        for n in names:
+            d = datasets[n]
+            offsets[n] = total
+            total += len(d)
+            for k in ("audio", "video", "text", "labels"):
+                arrays.setdefault(k, []).append(d.arrays[k])
+        combined = {k: np.concatenate(v) for k, v in arrays.items()}
+        if sum(v.nbytes for v in combined.values()) > 1_000_000_000:
+            self._combined_cache[key] = None
+            return None
+        staged = {k: jax.device_put(v) for k, v in combined.items()}
+        self._combined_cache[key] = (staged, offsets)
+        return self._combined_cache[key]
+
+    def _fused_epoch_impl(self, state, data, idx_mat, step_weights, lr_scale):
+        """lax.scan over all steps of an epoch — one XLA dispatch."""
+
+        def body(state, xs):
+            idx, w = xs
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            new_state, aux = self._train_step_impl(state, batch, w, lr_scale)
+            return new_state, aux
+
+        state, auxs = jax.lax.scan(body, state, (idx_mat, step_weights))
+        return state, jax.tree_util.tree_map(jnp.mean, auxs)
 
     # -- optimizer ---------------------------------------------------------
     def _build_schedule(self) -> Callable[[int], float]:
@@ -372,11 +421,42 @@ class DEERTrainer:
 
     # -- epochs ------------------------------------------------------------
     def train_epoch(self, train_iterators: dict, epoch: int) -> dict[str, float]:
-        # Keep the step loop async: aux values stay on device and are pulled
-        # once at epoch end (a per-step float() would force a device sync —
-        # hundreds of needless round trips per epoch).
-        aux_list: list[dict] = []
         lr_scale = jnp.asarray(self._plateau_scale, dtype=jnp.float32)
+
+        # Fused path: whole epoch in one lax.scan dispatch.
+        fused = self.config.fused_epochs
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        combined = (
+            self._stage_combined(
+                {n: it.dataset for n, it in train_iterators.items()}
+            )
+            if fused
+            else None
+        )
+        if combined is not None:
+            staged, offsets = combined
+            idx_rows, weight_rows = [], []
+            for name, idx, _ in self._multi_dataset_iterator(
+                train_iterators, epoch
+            ):
+                idx_rows.append(idx + offsets[name])
+                weight_rows.append(
+                    self.config.dataset_weights.get(name.lower(), 1.0)
+                )
+            if not idx_rows:
+                return {}
+            idx_mat = jnp.asarray(np.stack(idx_rows), dtype=jnp.int32)
+            weights_arr = jnp.asarray(weight_rows, dtype=jnp.float32)
+            self.state, aux = self._fused_epoch(
+                self.state, staged, idx_mat, weights_arr, lr_scale
+            )
+            return {k: float(v) for k, v in jax.device_get(aux).items()}
+
+        # Per-step path (mesh or oversized data). Keep the loop async: aux
+        # values stay on device and are pulled once at epoch end (a per-step
+        # float() would force a device sync per step).
+        aux_list: list[dict] = []
         weights = {
             name: jnp.asarray(
                 self.config.dataset_weights.get(name.lower(), 1.0),
