@@ -158,12 +158,16 @@ def load_iemocap(
 
     extractor = extractor or MultimodalFeatureExtractor()
 
-    signals, texts = [], []
-    for s in samples:
-        signals.append(
-            load_wav(s["wav"]) if s["wav"] else np.zeros(1600, np.float32)
-        )
-        texts.append(s["text"])
+    # Threaded decode: the native C++ wav reader releases the GIL, so a small
+    # pool parallelizes the host-bound decode+resample across utterances.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load(s):
+        return load_wav(s["wav"]) if s["wav"] else np.zeros(1600, np.float32)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        signals = list(pool.map(_load, samples))
+    texts = [s["text"] for s in samples]
     audio_feats = extractor.audio.extract_batch(signals)
     text_feats = extractor.text.extract_batch(texts)
     video_feats = np.stack(

@@ -115,7 +115,10 @@ def load_ravdess(
         records = records[:200]
 
     extractor = extractor or MultimodalFeatureExtractor()
-    signals = [load_wav(str(r["wav"])) for r in records]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        signals = list(pool.map(lambda r: load_wav(str(r["wav"])), records))
     audio_feats = extractor.audio.extract_batch(signals)
     text_feats = extractor.text.extract_batch(
         [STATEMENTS.get(r["statement"], "") for r in records]
