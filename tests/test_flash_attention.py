@@ -128,3 +128,48 @@ class TestTextEncoderFlash:
         np.testing.assert_allclose(
             np.asarray(ref), np.asarray(got), rtol=5e-3, atol=5e-3
         )
+
+
+class TestFlashBackwardKernels:
+    """Blocked Pallas backward must match the einsum reference's gradients."""
+
+    def _grads(self, fn, q, k, v, mask=None):
+        def loss(q, k, v):
+            out = fn(q, k, v, mask)
+            return jnp.sum(out * jnp.cos(out))  # nontrivial downstream grad
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def test_grads_match_reference(self, rng):
+        q, k, v = _qkv(rng, b=1, h=2, tq=128, tk=256, d=32)
+        fa = lambda q, k, v, m: flash_attention(q, k, v, m, interpret=INTERPRET)
+        dq1, dk1, dv1 = self._grads(fa, q, k, v)
+        dq2, dk2, dv2 = self._grads(reference_attention, q, k, v)
+        for a, b in ((dq1, dq2), (dk1, dk2), (dv1, dv2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_grads_match_reference_masked(self, rng):
+        q, k, v = _qkv(rng, b=2, h=2, tq=64, tk=192, d=32)
+        mask = jnp.ones((2, 192)).at[:, 150:].set(0.0)
+        fa = lambda q, k, v, m: flash_attention(q, k, v, m, interpret=INTERPRET)
+        dq1, dk1, dv1 = self._grads(fa, q, k, v, mask)
+        dq2, dk2, dv2 = self._grads(reference_attention, q, k, v, mask)
+        for a, b in ((dq1, dq2), (dk1, dk2), (dv1, dv2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+        # masked keys receive zero gradient
+        assert np.abs(np.asarray(dk1)[:, :, 150:]).max() < 1e-6
+        assert np.abs(np.asarray(dv1)[:, :, 150:]).max() < 1e-6
+
+    def test_grads_nonmultiple_lengths(self, rng):
+        q, k, v = _qkv(rng, b=1, h=2, tq=70, tk=90, d=32)
+        fa = lambda q, k, v, m: flash_attention(q, k, v, m, interpret=INTERPRET)
+        dq1, dk1, dv1 = self._grads(fa, q, k, v)
+        dq2, dk2, dv2 = self._grads(reference_attention, q, k, v)
+        for a, b in ((dq1, dq2), (dk1, dk2), (dv1, dv2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )

@@ -1,15 +1,21 @@
-"""Blocked flash attention (online softmax) as a Pallas TPU kernel.
+"""Blocked flash attention (online softmax) as Pallas TPU kernels — fwd + bwd.
 
 For the raw-sequence encoders (BASELINE.json north star: "jitted lax.scan +
 flash-attention blocks"). The utterance-scale model (T ≤ a few hundred)
-doesn't *need* memory-blocked attention, but this kernel makes the sequence
-path scale to long contexts: K/V are streamed block-by-block through VMEM
-with running max/normalizer statistics (the standard online-softmax
-recurrence), so memory is O(T_q · D) instead of O(T_q · T_k).
+doesn't *need* memory-blocked attention, but these kernels make the sequence
+path scale to long contexts: K/V stream block-by-block through VMEM with
+running max/normalizer statistics, so memory is O(T·D) instead of O(T²) in
+BOTH directions:
+
+  * forward  — online-softmax accumulation, emits O and the log-sum-exp
+    statistics (lse) needed by the backward;
+  * backward — two blocked kernels (the standard FlashAttention-2 recipe):
+    dQ streams K/V blocks per Q block; dK/dV streams Q/dO blocks per K block;
+    p is recomputed from lse, never materializing the [Tq, Tk] matrix.
 
 Interface: flash_attention(q, k, v, kv_mask=None) over [B, H, T, D];
-numerically equal to reference einsum attention (tested, CPU interpret +
-TPU compiled).
+forward and gradients numerically equal to the einsum reference (tested on
+CPU interpret and compiled TPU).
 """
 
 from __future__ import annotations
@@ -20,17 +26,20 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
-                  scale: float):
-    """One (batch·head, q-block) cell: stream K/V blocks with online softmax.
-
-    Block shapes inside the kernel (leading 1 = the grid's batch·head axis):
-      q_ref [1, BQ, D], k_ref [1, T, D], v_ref [1, T, D],
-      mask_ref [1, 1, T], o_ref [1, BQ, D]
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                block_k: int, scale: float):
+    """Block shapes (leading 1 = batch·head grid axis):
+    q_ref [1, BQ, D], k_ref [1, Tk, D], v_ref [1, Tk, D], mask_ref [1, 1, Tk],
+    o_ref [1, BQ, D], lse_ref [1, 1, BQ].
     """
     q = q_ref[0] * scale
     t_total = k_ref.shape[1]
@@ -41,14 +50,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
         acc, m_prev, l_prev = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [BQ, BK]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
         mask_blk = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
         s = jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [BQ, BK]
-        correction = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_prev - m_new)
         l_new = l_prev * correction + p.sum(axis=-1, keepdims=True)
         acc = acc * correction + jnp.dot(
             p, v_blk, preferred_element_type=jnp.float32
@@ -58,15 +67,83 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
     acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
-    acc, m_final, l_final = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
+    acc, m_f, l_f = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l_f, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m_f + jnp.log(l_safe))[:, 0]
 
 
-# Import here so the module imports cleanly even if pallas is unavailable.
-from jax.experimental import pallas as pl  # noqa: E402
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+# ---------------------------------------------------------------------------
+# Backward kernels (FlashAttention-2 style; p recomputed from lse)
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, block_k: int, scale: float):
+    """Per (bh, q-block): dq = scale * sum_k p*(dp - delta) @ K.
+
+    q_ref/do_ref/dq_ref [1, BQ, D]; k_ref/v_ref [1, Tk, D];
+    mask_ref [1, 1, Tk]; lse_ref/delta_ref [1, 1, BQ].
+    """
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][:, None]  # [BQ, 1]
+    delta = delta_ref[0, 0][:, None]
+    t_total = k_ref.shape[1]
+    n_blocks = t_total // block_k
+
+    def body(i, dq):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
+        mask_blk = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
+        s = scale * jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        s = jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
+        p = jnp.exp(s - lse)  # [BQ, BK]
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(
+        0, n_blocks, body, jnp.zeros_like(q, dtype=jnp.float32)
+    )
+    dq_ref[0] = (scale * dq).astype(dq_ref.dtype)
 
 
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, scale: float):
+    """Per (bh, k-block): dv = sum_q p^T @ dO; dk = scale * sum_q ds^T @ Q.
+
+    k_ref/v_ref/dk_ref/dv_ref [1, BK, D]; q_ref/do_ref [1, Tq, D];
+    mask_ref [1, 1, BK]; lse_ref/delta_ref [1, 1, Tq].
+    """
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    mask_blk = mask_ref[0, 0]  # [BK]
+    t_total = q_ref.shape[1]
+    n_blocks = t_total // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta_blk = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = scale * jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+        s = jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
+        p = jnp.exp(s - lse_blk)  # [BQ, BK]
+        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_blk)
+        dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    zeros = jnp.zeros_like(k_blk, dtype=jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_blocks, body, (zeros, zeros))
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Padding / flattening helpers
+# ---------------------------------------------------------------------------
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     target = ((size + multiple - 1) // multiple) * multiple
@@ -77,24 +154,135 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, pads)
 
 
+def _flatten_pad(q, k, v, kv_mask, block_q, block_k):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    qf = _pad_to(q.reshape(b * h, tq, d), 1, block_q)
+    kf = _pad_to(k.reshape(b * h, tk, d), 1, block_k)
+    vf = _pad_to(v.reshape(b * h, tk, d), 1, block_k)
+    maskf = _pad_to(
+        jnp.repeat(kv_mask.astype(jnp.float32), h, axis=0)[:, None, :], 2,
+        block_k,
+    )
+    return qf, kf, vf, maskf
+
+
+# ---------------------------------------------------------------------------
+# Forward / backward impls
+# ---------------------------------------------------------------------------
+def _forward_impl(q, k, v, kv_mask, block_q, block_k, interpret):
+    b, h, tq, d = q.shape
+    scale = 1.0 / float(np.sqrt(d))
+    qf, kf, vf, maskf = _flatten_pad(q, k, v, kv_mask, block_q, block_k)
+    tq_p, tk_p = qf.shape[1], kf.shape[1]
+    bh = b * h
+    grid = (bh, tq_p // block_q)
+
+    q_row = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kv_full = pl.BlockSpec((1, tk_p, d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    mask_full = pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    lse_row = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[q_row, kv_full, kv_full, mask_full],
+        out_specs=(q_row, lse_row),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, tq_p), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, maskf)
+    return out[:, :tq].reshape(b, h, tq, d), (qf, kf, vf, maskf, lse, out)
+
+
+def _backward_impl(res, g, shape, block_q, block_k, interpret):
+    qf, kf, vf, maskf, lse, of = res
+    b, h, tq, d = shape
+    tk = kf.shape[1]  # padded
+    tq_p = qf.shape[1]
+    bh = b * h
+    scale = 1.0 / float(np.sqrt(d))
+
+    gof = _pad_to(g.reshape(bh, tq, d), 1, block_q).astype(jnp.float32)
+    # delta_i = sum_d dO_id * O_id (padded rows contribute zeros)
+    delta = jnp.sum(gof * of.astype(jnp.float32), axis=-1)[:, None, :]  # [BH,1,Tq_p]
+
+    q_row = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    q_full = pl.BlockSpec((1, tq_p, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_row = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_full = pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    mask_full = pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mask_row = pl.BlockSpec((1, 1, block_k), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    stat_row = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    stat_full = pl.BlockSpec((1, 1, tq_p), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, scale=scale),
+        grid=(bh, tq_p // block_q),
+        in_specs=[q_row, kv_full, kv_full, mask_full, q_row, stat_row,
+                  stat_row],
+        out_specs=q_row,
+        out_shape=jax.ShapeDtypeStruct((bh, tq_p, d), jnp.float32),
+        interpret=interpret,
+    )(qf, kf, vf, maskf, gof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, scale=scale),
+        grid=(bh, tk // block_k),
+        in_specs=[q_full, kv_row, kv_row, mask_row, q_full, stat_full,
+                  stat_full],
+        out_specs=(kv_row, kv_row),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, maskf, gof, lse, delta)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(q, k, v, kv_mask, block_q, block_k, interpret):
-    return _flash_forward_impl(q, k, v, kv_mask, block_q, block_k, interpret)
+    out, _ = _forward_impl(q, k, v, kv_mask, block_q, block_k, interpret)
+    return out
 
 
 def _flash_fwd(q, k, v, kv_mask, block_q, block_k, interpret):
-    out = _flash_forward_impl(q, k, v, kv_mask, block_q, block_k, interpret)
-    return out, (q, k, v, kv_mask)
+    out, res = _forward_impl(q, k, v, kv_mask, block_q, block_k, interpret)
+    return out, (res, q.shape, k.shape[2], kv_mask)
 
 
-def _flash_bwd(block_q, block_k, interpret, residuals, g):
-    # Backward through the mathematically identical einsum attention
-    # (O(T^2) activations — acceptable at utterance scale; a blocked Pallas
-    # backward is the long-context upgrade path).
-    q, k, v, kv_mask = residuals
-    _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v, kv_mask), q, k, v)
-    dq, dk, dv = vjp(g)
+def _flash_bwd(block_q, block_k, interpret, saved, g):
+    res, q_shape, tk, kv_mask = saved
+    b, h, tq, d = q_shape
+    dqf, dkf, dvf = _backward_impl(
+        res, g, q_shape, block_q, block_k, interpret
+    )
+    dq = dqf[:, :tq].reshape(b, h, tq, d).astype(g.dtype)
+    dk = dkf[:, :tk].reshape(b, h, tk, d).astype(g.dtype)
+    dv = dvf[:, :tk].reshape(b, h, tk, d).astype(g.dtype)
     return dq, dk, dv, jnp.zeros_like(kv_mask)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(
@@ -111,58 +299,14 @@ def flash_attention(
 ) -> jax.Array:
     """Attention over [B, H, Tq, D] / [B, H, Tk, D]; kv_mask [B, Tk] (1=valid).
 
-    Returns [B, H, Tq, D]; equals softmax(q·kᵀ/√D + mask)·v. Differentiable
-    (custom VJP).
+    Returns [B, H, Tq, D] = softmax(q·kᵀ/√D + mask)·v. Fully differentiable:
+    both forward and backward are blocked Pallas kernels (O(T·D) memory).
     """
     if kv_mask is None:
         kv_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=jnp.float32)
-    return _flash(q, k, v, kv_mask.astype(jnp.float32), block_q, block_k, interpret)
-
-
-_flash.defvjp(_flash_fwd, _flash_bwd)
-
-
-def _flash_forward_impl(q, k, v, kv_mask, block_q, block_k, interpret):
-    b, h, tq, d = q.shape
-    tk = k.shape[2]
-    scale = 1.0 / float(np.sqrt(d))
-
-    if kv_mask is None:
-        kv_mask = jnp.ones((b, tk), dtype=jnp.float32)
-    kv_mask = kv_mask.astype(jnp.float32)
-
-    # Flatten batch·heads; pad sequence dims to block multiples.
-    qf = q.reshape(b * h, tq, d)
-    kf = k.reshape(b * h, tk, d)
-    vf = v.reshape(b * h, tk, d)
-    maskf = jnp.repeat(kv_mask, h, axis=0)[:, None, :]  # [B*H, 1, Tk]
-
-    qf = _pad_to(qf, 1, block_q)
-    kf = _pad_to(kf, 1, block_k)
-    vf = _pad_to(vf, 1, block_k)
-    maskf = _pad_to(maskf, 2, block_k)  # padded keys get mask 0 → ignored
-    tq_p, tk_p = qf.shape[1], kf.shape[1]
-
-    grid = (b * h, tq_p // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_p, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_p, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf, maskf)
-    return out[:, :tq].reshape(b, h, tq, d)
+    return _flash(
+        q, k, v, kv_mask.astype(jnp.float32), block_q, block_k, interpret
+    )
 
 
 def reference_attention(q, k, v, kv_mask=None):
