@@ -71,9 +71,11 @@ class TrainingConfig:
     # activation memory — irrelevant at 4M params, essential at scale.
     remat: bool = False
     # Fuse a whole epoch into one lax.scan dispatch (needs device-resident
-    # data). None = auto: on for TPU (dispatch-latency-bound), off for CPU
-    # (compile cost dominates the tiny test runs).
-    fused_epochs: Optional[bool] = None
+    # data). Opt-in: pays off only when an epoch has MANY small steps and
+    # dispatch latency dominates — measured on this setup, the scan's one-off
+    # compile (~90 s via remote compile) outweighs the ~2 ms/step dispatch
+    # saving at ≤100 steps/epoch, so the default stays off.
+    fused_epochs: Optional[bool] = None  # None = off (opt in explicitly)
     seed: int = 42
 
 
@@ -423,10 +425,8 @@ class DEERTrainer:
     def train_epoch(self, train_iterators: dict, epoch: int) -> dict[str, float]:
         lr_scale = jnp.asarray(self._plateau_scale, dtype=jnp.float32)
 
-        # Fused path: whole epoch in one lax.scan dispatch.
-        fused = self.config.fused_epochs
-        if fused is None:
-            fused = jax.default_backend() == "tpu"
+        # Fused path: whole epoch in one lax.scan dispatch (opt-in).
+        fused = bool(self.config.fused_epochs)
         combined = (
             self._stage_combined(
                 {n: it.dataset for n, it in train_iterators.items()}
