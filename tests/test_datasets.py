@@ -250,3 +250,18 @@ class TestLoaderFactory:
 
         with _pytest.raises(ValueError):
             create_enhanced_dataloaders("/tmp", dataset="nope")
+
+
+class TestTokenIds:
+    def test_iemocap_emits_token_ids(self, iemocap_root, extractor, tmp_path):
+        from tpu_deer.data.iemocap import load_iemocap
+
+        splits = load_iemocap(
+            iemocap_root, extractor=extractor, cache_dir=str(tmp_path)
+        )
+        ds = splits["test"]
+        assert "token_ids" in ds.arrays
+        assert ds.arrays["token_ids"].shape == (3, 128)
+        assert ds.arrays["token_mask"].sum() > 0
+        # Non-empty transcripts must produce non-trivial token sequences
+        assert (ds.arrays["token_mask"].sum(axis=1) > 2).all()

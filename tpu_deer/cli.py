@@ -360,6 +360,19 @@ def run_component_tests() -> bool:
         u = nig.nig_uncertainties(p)
         assert bool(jnp.all(u["total"] > 0))
         print("NIG math: OK")
+
+        import tempfile
+
+        from tpu_deer.viz.report import PerformanceVisualizer
+
+        with tempfile.TemporaryDirectory() as td:
+            path = PerformanceVisualizer().plot_training_curves(
+                {"train_loss": [3, 2, 1], "val_ccc": [0.1, 0.2],
+                 "learning_rate": [1e-4] * 3},
+                save_path=f"{td}/curves.png",
+            )
+            assert os.path.exists(path)
+        print("visualization: OK")
     except Exception as e:  # pragma: no cover
         print(f"component test FAILED: {e}")
         ok = False

@@ -139,7 +139,7 @@ def load_iemocap(
 
     root = Path(root_path)
     cdir = cache_dir_for(root_path, cache_dir)
-    key = f"iemocap_{'quick' if quick else 'full'}_v1"
+    key = f"iemocap_{'quick' if quick else 'full'}_v2"
     cached = load_cached(cdir, key)
     if cached is not None:
         return _split_arrays(cached)
@@ -170,6 +170,11 @@ def load_iemocap(
     texts = [s["text"] for s in samples]
     audio_feats = extractor.audio.extract_batch(signals)
     text_feats = extractor.text.extract_batch(texts)
+    # Token ids for the raw-sequence text path (reference preprocessing.py
+    # tokenized inside __getitem__; here they're precomputed once).
+    from tpu_deer.data.tokenizer import HashTokenizer
+
+    token_ids, token_mask = HashTokenizer().encode_batch(texts)
     video_feats = np.stack(
         [
             _extract_video_segment(s["avi"], s["t1"], s["t2"], extractor)
@@ -183,6 +188,8 @@ def load_iemocap(
         "audio": audio_feats.astype(np.float32),
         "video": video_feats.astype(np.float32),
         "text": text_feats.astype(np.float32),
+        "token_ids": token_ids.astype(np.int32),
+        "token_mask": token_mask.astype(np.int32),
         "labels": np.asarray(
             [[s["valence"], s["arousal"], s["dominance"]] for s in samples],
             dtype=np.float32,
