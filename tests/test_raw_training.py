@@ -89,3 +89,77 @@ class TestRawEndToEnd:
             losses.append(float(loss))
         assert np.isfinite(losses[-1])
         assert losses[-1] < losses[0]
+
+
+class TestRawPipelineOnFixtureData:
+    def test_iemocap_fixture_through_raw_model(self, tmp_path, rng):
+        """Complete raw pipeline on real-format data: fixture IEMOCAP wavs →
+        Pallas frame features + token ids → RawSequenceDEERModel forward."""
+        import os
+
+        from scipy.io import wavfile
+
+        from tpu_deer.data.audio_io import load_wav
+        from tpu_deer.data.iemocap import load_iemocap, parse_annotations
+        from tpu_deer.data.features import MultimodalFeatureExtractor
+        from tpu_deer.ops.audio_frontend import (
+            AudioFrontendConfig,
+            audio_frame_features,
+        )
+
+        # Build a 2-utterance fixture corpus.
+        root = tmp_path / "iemocap"
+        sdir = root / "Session1"
+        (sdir / "dialog" / "EmoEvaluation").mkdir(parents=True)
+        (sdir / "dialog" / "transcriptions").mkdir(parents=True)
+        dialog = "Ses01F_impro01"
+        lines, tlines = [], []
+        for i in range(2):
+            utt = f"{dialog}_F00{i}"
+            lines.append(
+                f"[{i}.0000 - {i}.8000]\t{utt}\tneu\t[3.0000, 3.0000, 3.0000]"
+            )
+            tlines.append(f"{utt} [{i}.0000-{i}.8000]: we are talking now")
+            wav_dir = sdir / "sentences" / "wav" / dialog
+            wav_dir.mkdir(parents=True, exist_ok=True)
+            t = np.arange(8000) / 16000
+            sig = (0.4 * np.sin(2 * np.pi * 200 * t) * 32767).astype(np.int16)
+            wavfile.write(str(wav_dir / f"{utt}.wav"), 16000, sig)
+        (sdir / "dialog" / "EmoEvaluation" / f"{dialog}.txt").write_text(
+            "\n".join(lines)
+        )
+        (sdir / "dialog" / "transcriptions" / f"{dialog}.txt").write_text(
+            "\n".join(tlines)
+        )
+
+        splits = load_iemocap(
+            str(root), cache_dir=str(tmp_path / "cache"),
+            extractor=MultimodalFeatureExtractor(),
+        )
+        ds = splits["train"] if len(splits["train"]) else splits["val"]
+        assert len(ds) == 2
+
+        # Frame-level audio features from the raw wavs (the raw-model path).
+        samples = parse_annotations(root)
+        cfg = AudioFrontendConfig()
+        frame_feats = jnp.stack(
+            [
+                audio_frame_features(
+                    jnp.asarray(load_wav(s["wav"])), cfg, use_pallas=False
+                )
+                for s in samples
+            ]
+        )
+        video = jnp.zeros((2, 2, 16, 16, 3), jnp.float32)
+        ids = jnp.asarray(ds.arrays["token_ids"][:, :16])
+        mask = jnp.asarray(ds.arrays["token_mask"][:, :16])
+
+        model = RawSequenceDEERModel(
+            encoder_dim=24, fusion_dim=48, vocab_size=30522, num_heads=4
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), frame_feats, video, ids, mask
+        )["params"]
+        out = model.apply({"params": params}, frame_feats, video, ids, mask)
+        assert out["mu_all"].shape == (2, 3)
+        assert np.all(np.isfinite(np.asarray(out["mu_all"])))

@@ -62,7 +62,7 @@ def load_meld(
 
     root = Path(root_path)
     cdir = cache_dir_for(root_path, cache_dir)
-    key = f"meld_{'quick' if quick else 'full'}_v1"
+    key = f"meld_{'quick' if quick else 'full'}_v2"
     cached = load_cached(cdir, key)
     if cached is not None:
         return _unpack(cached)
@@ -88,6 +88,13 @@ def load_meld(
         text_feats = extractor.text.extract_batch(texts) if rows else np.zeros(
             (0, 768), np.float32
         )
+        from tpu_deer.data.tokenizer import HashTokenizer
+
+        if rows:
+            token_ids, token_mask = HashTokenizer().encode_batch(texts)
+        else:
+            token_ids = np.zeros((0, 128), np.int32)
+            token_mask = np.zeros((0, 128), np.int32)
 
         video_feats = np.zeros((len(rows), 256), dtype=np.float32)
         audio_feats = np.zeros((len(rows), 84), dtype=np.float32)
@@ -113,6 +120,8 @@ def load_meld(
         packed[f"{split}_audio"] = audio_feats
         packed[f"{split}_video"] = video_feats
         packed[f"{split}_text"] = text_feats.astype(np.float32)
+        packed[f"{split}_token_ids"] = token_ids.astype(np.int32)
+        packed[f"{split}_token_mask"] = token_mask.astype(np.int32)
         packed[f"{split}_labels"] = labels
 
     if not any_found:
@@ -126,13 +135,14 @@ def _unpack(packed: dict) -> dict[str, ArrayDataset]:
     out = {}
     for split in ("train", "val", "test"):
         if f"{split}_labels" in packed:
-            out[split] = ArrayDataset(
-                {
-                    "audio": packed[f"{split}_audio"],
-                    "video": packed[f"{split}_video"],
-                    "text": packed[f"{split}_text"],
-                    "labels": packed[f"{split}_labels"],
-                },
-                name="meld",
-            )
+            arrays = {
+                "audio": packed[f"{split}_audio"],
+                "video": packed[f"{split}_video"],
+                "text": packed[f"{split}_text"],
+                "labels": packed[f"{split}_labels"],
+            }
+            if f"{split}_token_ids" in packed:
+                arrays["token_ids"] = packed[f"{split}_token_ids"]
+                arrays["token_mask"] = packed[f"{split}_token_mask"]
+            out[split] = ArrayDataset(arrays, name="meld")
     return out
