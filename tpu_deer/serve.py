@@ -81,20 +81,8 @@ class InferenceEngine:
         config = config or DEERModelConfig()
         model, params = create_complete_deer_model(config, seed=0)
         ckpt = CheckpointManager(checkpoint_dir)
-        # Restore just the params subtree from the saved TrainState layout.
-        import flax.serialization
-        import os
-
-        path = (
-            ckpt.best_dir if step == "best" else ckpt._step_dir(step)
-        )
-        with open(os.path.join(path, "state.msgpack"), "rb") as f:
-            template = {"params": params}
-            state = flax.serialization.from_bytes(None, f.read())
-        restored = flax.serialization.from_state_dict(
-            template, {"params": state["params"]}
-        )
-        return cls(model, restored["params"], **kwargs)
+        restored = ckpt.restore_params(params, step=step)
+        return cls(model, restored, **kwargs)
 
     def warmup(self):
         """Pre-compile every bucket (first-request latency → steady-state)."""

@@ -95,6 +95,22 @@ class CheckpointManager:
         with open(os.path.join(path, "state.msgpack"), "rb") as f:
             return flax.serialization.from_bytes(template, f.read())
 
+    def restore_params(self, params_template: Any, step=None) -> Any:
+        """Restore just the model parameters from a saved TrainState (for
+        serving — no optimizer state needed). step=None → latest; 'best' →
+        the best checkpoint."""
+        if step == "best":
+            path = self.best_dir
+        else:
+            if step is None:
+                step = self.latest_step()
+                if step is None:
+                    raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            path = self._step_dir(step)
+        with open(os.path.join(path, "state.msgpack"), "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
+        return flax.serialization.from_state_dict(params_template, raw["params"])
+
     def metadata(self, step: Optional[int] = None) -> dict:
         if step == "best":
             path = self.best_dir
