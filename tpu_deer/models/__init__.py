@@ -11,6 +11,13 @@ from tpu_deer.models.encoders import (
     AudioSequenceEncoder,
     VideoSequenceEncoder,
     TextSequenceEncoder,
+    UnifiedSequenceEncoder,
+    create_encoders_from_config,
+    get_encoder_output_dims,
+)
+from tpu_deer.models.hierarchical_deer import (
+    HierarchicalDEERFusionModel,
+    RawSequenceDEERModel,
 )
 from tpu_deer.models.attention import (
     MultiHeadAttention,

@@ -6,4 +6,6 @@ from tpu_deer.ops.audio_frontend import (
     mfcc_frames,
     audio_frame_features,
     extract_utterance_features,
+    extract_enhanced_utterance_features,
 )
+from tpu_deer.ops.flash_attention import flash_attention
