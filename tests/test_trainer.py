@@ -260,3 +260,15 @@ class TestFusedEpoch:
             r_step["history"]["val_ccc"], r_fused["history"]["val_ccc"],
             rtol=1e-3, atol=1e-4,
         )
+
+
+class TestTinyDatasetPadding:
+    def test_dataset_smaller_than_batch(self):
+        """Padding must keep static batch shape even when n < batch_size."""
+        ds = ArrayDataset({"x": np.arange(3, dtype=np.float32)})
+        it = BatchIterator(ds, batch_size=8, shuffle=False)
+        (idx, mask), = list(it.epoch_indices(0))
+        assert idx.shape == (8,)
+        assert mask.sum() == 3
+        batches = list(it.epoch(0))
+        assert batches[0]["x"].shape == (8,)

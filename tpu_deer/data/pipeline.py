@@ -85,7 +85,10 @@ class BatchIterator:
             if len(idx) < self.batch_size:
                 pad = self.batch_size - len(idx)
                 mask[len(idx) :] = 0.0
-                idx = np.concatenate([idx, order[:pad]])
+                # Wrap around as many times as needed (pad may exceed n for
+                # datasets smaller than one batch).
+                filler = np.resize(order, pad)
+                idx = np.concatenate([idx, filler])
             yield idx.astype(np.int32), mask
 
     def epoch(self, epoch: Optional[int] = None) -> Iterator[dict[str, np.ndarray]]:
