@@ -157,3 +157,14 @@ class TestDataParallelTraining:
         np.testing.assert_allclose(
             np.asarray(out_ref), np.asarray(out_tp), atol=1e-5
         )
+
+
+class TestMeshValidation:
+    def test_uneven_batch_rejected(self):
+        mesh = create_mesh()
+        model, params = create_complete_deer_model(SMALL, seed=0)
+        with pytest.raises(ValueError, match="divisible"):
+            DEERTrainer(
+                model, params, TrainingConfig(batch_size=12, num_epochs=1),
+                steps_per_epoch=1, mesh=mesh,
+            )

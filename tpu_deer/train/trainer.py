@@ -119,6 +119,12 @@ class DEERTrainer:
         self.optimizer = self._build_optimizer(params)
 
         if mesh is not None:
+            data_size = mesh.shape.get("data", 1)
+            if config.batch_size % data_size != 0:
+                raise ValueError(
+                    f"batch_size {config.batch_size} must be divisible by the "
+                    f"mesh 'data' axis ({data_size}) for even sharding"
+                )
             from tpu_deer.parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
