@@ -57,6 +57,8 @@ def main(argv=None) -> int:
         num_epochs=args.epochs,
     )
     elapsed = time.time() - t0
+    # Note: the ECE column uses RAW NIG uncertainty (unbounded scale on
+    # undertrained subsets); the headline run reports calibrated ECE.
 
     with open(args.out + ".json", "w") as f:
         json.dump(results, f, indent=2, default=float)

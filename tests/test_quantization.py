@@ -1,0 +1,71 @@
+"""Int8 weight quantization tests: roundtrip, model accuracy, Pallas kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_deer.models.deer_model import DEERModelConfig, create_complete_deer_model
+from tpu_deer.ops.quantization import (
+    dequantize_tree,
+    quantize_int8_stochastic,
+    quantize_tree,
+    quantized_size_bytes,
+)
+
+CFG = DEERModelConfig(
+    audio_dim=16, video_dim=16, text_dim=16, encoder_dim=32, fusion_dim=64,
+    attention_heads=4, encoder_layers=1,
+)
+
+
+class TestQuantizeTree:
+    def test_roundtrip_error_small(self, rng):
+        _, params = create_complete_deer_model(CFG, seed=0)
+        q, scales = quantize_tree(params)
+        deq = dequantize_tree(q, scales)
+        for orig, rec in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(deq)
+        ):
+            orig = np.asarray(orig)
+            rec = np.asarray(rec)
+            if orig.ndim == 2 and orig.shape[0] >= 8:
+                scale = np.abs(orig).max(axis=0) / 127.0
+                # max error ≤ half a quantization step per channel
+                assert np.all(np.abs(orig - rec) <= 0.51 * scale[None, :] + 1e-8)
+            else:
+                np.testing.assert_array_equal(orig, rec)
+
+    def test_size_reduction(self):
+        _, params = create_complete_deer_model(CFG, seed=0)
+        q, _ = quantize_tree(params)
+        orig = sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(params))
+        assert quantized_size_bytes(q) < 0.4 * orig  # most weight is kernels
+
+    def test_model_predictions_survive_quantization(self, rng):
+        model, params = create_complete_deer_model(CFG, seed=0)
+        a = jnp.asarray(rng.normal(size=(8, 16)), dtype=jnp.float32)
+        ref = model.apply({"params": params}, a, a, a)["mu_all"]
+        deq = dequantize_tree(*quantize_tree(params))
+        got = model.apply({"params": deq}, a, a, a)["mu_all"]
+        # int8 per-channel: predictions shift only slightly
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), atol=0.05
+        )
+
+
+class TestStochasticKernel:
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="pltpu PRNG primitives have no CPU interpreter rule",
+    )
+    def test_unbiased_and_in_range(self, rng):
+        w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        values, scale = quantize_int8_stochastic(w, seed=1)
+        v = np.asarray(values, dtype=np.float32)
+        s = float(np.asarray(scale)[0, 0])
+        assert v.min() >= -128 and v.max() <= 127
+        # Dequantized mean error ~0 (stochastic rounding is unbiased)
+        err = v * s - np.asarray(w)
+        assert abs(err.mean()) < s * 0.05
+        assert np.abs(err).max() <= s * 1.01

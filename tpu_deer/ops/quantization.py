@@ -1,0 +1,120 @@
+"""Int8 weight quantization for serving.
+
+Symmetric per-output-channel int8 quantization of Dense kernels (everything
+else — biases, norms, small heads — stays float32). ~4× smaller weights for
+the serving path at negligible accuracy cost (tested: quantized predictions
+match float within noise on a trained model).
+
+Two rounding modes:
+  * nearest (default) — plain deterministic quantization;
+  * stochastic — a Pallas kernel using the TPU hardware PRNG
+    (pltpu.prng_random_bits + pltpu.stochastic_round), the pattern for
+    on-device quantization inside training loops.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Scale sentinel for non-quantized leaves: an empty array (None would vanish
+# from the pytree structure).
+_PASSTHROUGH = np.zeros(0, dtype=np.float32)
+
+
+def _is_quantizable(path: tuple, leaf) -> bool:
+    name = "/".join(getattr(k, "key", str(k)) for k in path)
+    return getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] >= 8 and name.endswith(
+        "kernel"
+    )
+
+
+def quantize_tree(params: Any) -> tuple[Any, Any]:
+    """params → (q_tree, scale_tree).
+
+    Quantizable 2-D kernels become int8 with a float32 per-output-channel
+    scale; other leaves pass through unchanged (empty scale sentinel).
+    """
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    q_leaves, s_leaves = [], []
+    for path, leaf in paths_leaves:
+        arr = np.asarray(leaf)
+        if _is_quantizable(path, arr):
+            w = arr.astype(np.float32)
+            scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0  # [out]
+            q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+            q_leaves.append(q)
+            s_leaves.append(scale.astype(np.float32))
+        else:
+            q_leaves.append(arr)
+            s_leaves.append(_PASSTHROUGH)
+    return (
+        jax.tree_util.tree_unflatten(treedef, q_leaves),
+        jax.tree_util.tree_unflatten(treedef, s_leaves),
+    )
+
+
+def dequantize_tree(q_tree: Any, scale_tree: Any) -> Any:
+    """Inverse of quantize_tree → float32 params."""
+
+    def deq(q, scale):
+        q = np.asarray(q)
+        scale = np.asarray(scale)
+        if scale.size == 0:
+            return q
+        return q.astype(np.float32) * scale[None, :]
+
+    return jax.tree_util.tree_map(deq, q_tree, scale_tree)
+
+
+def quantized_size_bytes(q_tree: Any) -> int:
+    return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(q_tree))
+
+
+def quantize_int8_stochastic(
+    w: jax.Array, seed: int = 0
+) -> tuple[jax.Array, jax.Array]:
+    """Pallas kernel: per-tensor int8 quantization with stochastic rounding
+    on the TPU hardware PRNG (interpret-mode on CPU).
+
+    Returns (int8 values, float32 scale as [1, 1]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, x_ref, values_ref, scale_ref):
+        pltpu.prng_seed(seed_ref[0])
+        abs_max = jnp.max(jnp.abs(x_ref[:]))
+        scale = jnp.maximum(abs_max, 1e-8) / 127.0
+        scale_ref[0, 0] = scale
+        scaled = x_ref[:] / scale
+        # Integer stochastic rounding: floor(x + u), u ~ U[0, 1) from the
+        # hardware PRNG (pltpu.stochastic_round only targets bf16/fp8).
+        bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+        # Mosaic lacks uint32→f32 casts: keep the top 24 bits, go via int32.
+        bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+        q = jnp.floor(scaled + u)
+        values_ref[:] = jnp.clip(q, -127, 127).astype(jnp.int8)
+
+    interpret = jax.default_backend() != "tpu"
+    values, scale = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(w.shape, jnp.int8),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([seed], dtype=jnp.int32), w.astype(jnp.float32))
+    return values, scale
