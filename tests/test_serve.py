@@ -88,3 +88,15 @@ class TestInferenceEngine:
         np.testing.assert_allclose(
             eng["mu"], np.asarray(direct["mu_all"]), atol=1e-5
         )
+
+
+class TestQuantizedServing:
+    def test_quantized_engine_close_to_float(self, engine, rng):
+        model, params = create_complete_deer_model(CFG, seed=0)
+        q_engine = InferenceEngine(
+            model, params, batch_buckets=(1, 4), quantize_weights=True
+        )
+        a, v, t = _req(rng, 4)
+        ref = engine.predict(a, v, t)
+        got = q_engine.predict(a, v, t)
+        np.testing.assert_allclose(ref["mu"], got["mu"], atol=0.05)

@@ -35,8 +35,15 @@ class InferenceEngine:
         model: CompleteDEERModel,
         params,
         batch_buckets: Sequence[int] = DEFAULT_BUCKETS,
+        quantize_weights: bool = False,
     ):
         self.model = model
+        if quantize_weights:
+            # int8 per-channel weight compression (~4x smaller artifact);
+            # compute stays in the model's compute dtype after dequantize.
+            from tpu_deer.ops.quantization import dequantize_tree, quantize_tree
+
+            params = dequantize_tree(*quantize_tree(jax.device_get(params)))
         self.params = jax.device_put(params)
         self.buckets = sorted(batch_buckets)
 
