@@ -272,3 +272,33 @@ class TestTinyDatasetPadding:
         assert mask.sum() == 3
         batches = list(it.epoch(0))
         assert batches[0]["x"].shape == (8,)
+
+
+class TestFrozenParams:
+    def test_frozen_subtree_unchanged(self):
+        """Parameters under frozen_prefixes must not move during training
+        (reference freezes BERT layers 0-5, encoders.py:629-646)."""
+        import jax
+
+        train, val = _datasets()
+        trainer, _ = _trainer(
+            num_epochs=2, frozen_prefixes=("audio_encoder",)
+        )
+        before = jax.device_get(trainer.state.params["audio_encoder"])
+        before_text = jax.device_get(trainer.state.params["text_encoder"])
+        trainer.train(train, val)
+        after = jax.device_get(trainer.state.params["audio_encoder"])
+        after_text = jax.device_get(trainer.state.params["text_encoder"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        ):
+            np.testing.assert_array_equal(a, b)
+        # Unfrozen encoder DID move
+        moved = any(
+            not np.array_equal(a, b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(before_text),
+                jax.tree_util.tree_leaves(after_text),
+            )
+        )
+        assert moved

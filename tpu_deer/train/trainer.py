@@ -53,6 +53,11 @@ class TrainingConfig:
     warmup_epochs: int = 5
     early_stopping_patience: int = 10
     encoder_lr_scale: float = 0.5
+    # Freeze parameter subtrees whose path starts with any of these prefixes
+    # (slash-joined keys, e.g. "text_encoder/block_0"). The reference freezes
+    # BERT layers 0-5 this way (encoders.py:629-646); here it generalizes to
+    # any submodule.
+    frozen_prefixes: tuple = ()
     dataset_weights: Mapping[str, float] = dataclasses.field(
         default_factory=lambda: {"iemocap": 1.0, "ravdess": 0.8, "meld": 0.6}
     )
@@ -86,14 +91,17 @@ class TrainState(flax.struct.PyTreeNode):
     dropout_rng: jax.Array
 
 
-def _encoder_label_fn(params) -> Any:
-    """Label top-level encoder subtrees 'encoder', everything else 'main'."""
+def _encoder_label_fn(params, frozen_prefixes: tuple = ()) -> Any:
+    """Label params: 'frozen' (no updates), 'encoder' (scaled lr), 'main'."""
 
     def label(path, _):
-        top = getattr(path[0], "key", str(path[0]))
+        keys = [getattr(k, "key", str(k)) for k in path]
+        name = "/".join(keys)
+        if any(name.startswith(p) for p in frozen_prefixes):
+            return "frozen"
         return (
             "encoder"
-            if top in ("audio_encoder", "video_encoder", "text_encoder")
+            if keys[0] in ("audio_encoder", "video_encoder", "text_encoder")
             else "main"
         )
 
@@ -258,8 +266,12 @@ class DEERTrainer:
             )
 
         tx = optax.multi_transform(
-            {"encoder": adamw(cfg.encoder_lr_scale), "main": adamw(1.0)},
-            _encoder_label_fn(params),
+            {
+                "encoder": adamw(cfg.encoder_lr_scale),
+                "main": adamw(1.0),
+                "frozen": optax.set_to_zero(),
+            },
+            _encoder_label_fn(params, tuple(cfg.frozen_prefixes)),
         )
         return optax.chain(optax.clip_by_global_norm(cfg.gradient_clip), tx)
 
