@@ -43,9 +43,14 @@ class MultimodalDEERPipeline:
         self.quick = quick
         self.config = load_yaml_config(config_path)
         if quick:
-            self.config["training"]["num_epochs"] = 5
-            self.config["training"]["batch_size"] = 8
+            # Quick validation: small but LEARNABLE (the reference's quick
+            # mode could never show learning — its synthetic labels were
+            # independent noise and 5 epochs × bs 8 is undertrained).
+            self.config["training"]["num_epochs"] = 8
+            self.config["training"]["batch_size"] = 32
+            self.config["training"]["learning_rate"] = 3e-3
             self.config["training"]["warmup_epochs"] = 1
+            self.config["training"]["scheduler"] = "constant"
         for key, value in (overrides or {}).items():
             section, _, name = key.partition(".")
             if name:
@@ -139,7 +144,7 @@ class MultimodalDEERPipeline:
         from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
 
         m = self.config["model"]
-        n_train, n_val, n_test = (200, 64, 64) if self.quick else (1000, 200, 200)
+        n_train, n_val, n_test = (512, 128, 128) if self.quick else (1000, 200, 200)
         splits = make_synthetic_splits(
             SyntheticConfig(
                 n_train=n_train, n_val=n_val, n_test=n_test,
