@@ -52,7 +52,7 @@ class TestPipelineE2E:
         # ECE >= 0; it can exceed 1 on an undertrained model because raw NIG
         # uncertainty is unbounded (confidence = 1-u), as in the reference.
         assert res["ece"] >= 0
-        assert res["n_samples"] == 64
+        assert res["n_samples"] == 128  # quick-mode test split size
 
     def test_plots_written(self, summary_and_dir):
         summary, _ = summary_and_dir
