@@ -44,7 +44,7 @@ def main(argv=None) -> int:
             compute_dtype="bfloat16" if platform == "tpu" else "float32"
         ),
         TrainingConfig(
-            learning_rate=2e-3, batch_size=args.batch_size,
+            learning_rate=1e-3, batch_size=args.batch_size,
             num_epochs=args.epochs, warmup_epochs=1, scheduler="cosine",
             val_frequency=4, early_stopping_patience=50,
         ),
