@@ -8,7 +8,8 @@ Baseline: the reference claims 47 ms per sample inference latency
 (reference README.md:30; BASELINE.md). vs_baseline > 1 means faster than the
 reference. The north-star target is < 5 ms p50/sample on one TPU chip.
 
-Method: jitted forward of the full ~12M-param CompleteDEERModel.
+Method: jitted forward of the full 3,918,324-param CompleteDEERModel
+(exactly matching the reference's parameter count; its README claims "12M").
   * p50 per-sample latency measured at batch=1 (true single-sample serving).
   * Throughput (samples/sec/chip) measured at a large batch — reported on
     stderr for the record, headline metric stays latency.

@@ -151,7 +151,8 @@ static void resample(const std::vector<float>& in, uint32_t sr_in,
   }
 }
 
-long wav_read(const char* path, int target_sr, float* out, long out_cap) {
+static long wav_read_impl(const char* path, int target_sr, float* out,
+                          long out_cap) {
   FILE* f = fopen(path, "rb");
   if (!f) return WAVIO_EOPEN;
 
@@ -180,13 +181,32 @@ long wav_read(const char* path, int target_sr, float* out, long out_cap) {
       memcpy(&fmt.channels, hdr + 2, 2);
       memcpy(&fmt.sample_rate, hdr + 4, 4);
       memcpy(&fmt.bits, hdr + 14, 2);
-      if (fmt.format == 0xFFFE) fmt.format = 1;  // extensible → treat as PCM
-      if (size > 16) fseek(f, size - 16, SEEK_CUR);
+      if (fmt.format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes of
+        // the SubFormat GUID at chunk offset 24 (PCM=1, IEEE float=3).
+        uint8_t ext[24];
+        if (size < 40 || !read_exact(f, ext, 24)) {
+          fclose(f);
+          return WAVIO_EFORMAT;
+        }
+        memcpy(&fmt.format, ext + 8, 2);
+        if (size > 40) fseek(f, size - 40, SEEK_CUR);
+      } else if (size > 16) {
+        fseek(f, size - 16, SEEK_CUR);
+      }
     } else if (!memcmp(id, "data", 4)) {
       if (fmt.sample_rate == 0) {
         fclose(f);
         return WAVIO_EFORMAT;
       }
+      // Bound a corrupt chunk size by the bytes actually left in the file so
+      // decode_mono can't be asked for a multi-GB allocation.
+      long pos = ftell(f);
+      fseek(f, 0, SEEK_END);
+      long remaining = ftell(f) - pos;
+      fseek(f, pos, SEEK_SET);
+      if (remaining < 0) remaining = 0;
+      if ((long)size > remaining) size = (uint32_t)remaining;
       decoded = decode_mono(f, fmt, size, mono);
       break;
     } else {
@@ -202,6 +222,16 @@ long wav_read(const char* path, int target_sr, float* out, long out_cap) {
   if ((long)res.size() > out_cap) return WAVIO_ECAP;
   memcpy(out, res.data(), res.size() * sizeof(float));
   return (long)res.size();
+}
+
+long wav_read(const char* path, int target_sr, float* out, long out_cap) {
+  // No exception may cross the extern "C"/ctypes boundary (bad_alloc on a
+  // corrupt header would otherwise terminate the host process).
+  try {
+    return wav_read_impl(path, target_sr, out, out_cap);
+  } catch (...) {
+    return WAVIO_EFORMAT;
+  }
 }
 
 }  // extern "C"

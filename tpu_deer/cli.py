@@ -402,7 +402,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--results_dir", type=str, default=None)
     p.add_argument("--quick", action="store_true",
-                   help="5 epochs, batch size 8, small synthetic data")
+                   help="8 epochs, batch size 32, lr 3e-3, small learnable "
+                        "synthetic data (fast validation that shows learning)")
     p.add_argument("--verbose", action="store_true")
     return p
 

@@ -9,8 +9,8 @@ This engine makes low-latency serving a first-class capability:
   * returns VAD predictions with calibrated uncertainty and the full
     aleatoric/epistemic decomposition.
 
-Measured on one TPU v5e chip: ~0.12 ms p50 single-sample latency (vs the
-reference's claimed 47 ms), ~7M samples/s at batch 1024 (see bench.py).
+Measured on one TPU v5e chip (BENCH_r01): 0.10 ms p50 single-sample latency
+(vs the reference's claimed 47 ms), ~9.4M samples/s at batch 1024 (bench.py).
 """
 
 from __future__ import annotations

@@ -503,7 +503,8 @@ class DEERTrainer:
                 out = self._eval_step(self.state.params, batch)
                 pending.append((out, it.dataset.arrays["labels"][idx], mask_arr))
         host_outs = jax.device_get([p[0] for p in pending])
-        preds, targets, uncs, cal_uncs, losses_ = [], [], [], [], []
+        preds, targets, uncs, cal_uncs = [], [], [], []
+        loss_sum, loss_count = 0.0, 0.0
         for out, labels, mask_arr in zip(
             host_outs, (p[1] for p in pending), (p[2] for p in pending)
         ):
@@ -512,7 +513,11 @@ class DEERTrainer:
             targets.append(labels[mask])
             uncs.append(np.asarray(out["uncertainty"])[mask])
             cal_uncs.append(np.asarray(out["calibrated_uncertainty"])[mask])
-            losses_.append(float(out["loss"]))
+            # Weight each batch's loss by its real-row count so wrap-around
+            # padding rows in the final partial batch don't skew val_loss.
+            n_real = float(mask.sum())
+            loss_sum += float(out["loss"]) * n_real
+            loss_count += n_real
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)
         uncs = np.concatenate(uncs)
@@ -520,7 +525,7 @@ class DEERTrainer:
         results["ece_calibrated"] = metrics_lib.ece_np(
             preds, targets, np.concatenate(cal_uncs)
         )
-        results["val_loss"] = float(np.mean(losses_))
+        results["val_loss"] = float(loss_sum / max(loss_count, 1.0))
         return results
 
     def train(
