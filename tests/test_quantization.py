@@ -55,10 +55,6 @@ class TestQuantizeTree:
 
 
 class TestStochasticKernel:
-    @pytest.mark.skipif(
-        jax.default_backend() != "tpu",
-        reason="pltpu PRNG primitives have no CPU interpreter rule",
-    )
     def test_unbiased_and_in_range(self, rng):
         w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
         values, scale = quantize_int8_stochastic(w, seed=1)

@@ -77,34 +77,59 @@ def quantized_size_bytes(q_tree: Any) -> int:
 def quantize_int8_stochastic(
     w: jax.Array, seed: int = 0
 ) -> tuple[jax.Array, jax.Array]:
-    """Pallas kernel: per-tensor int8 quantization with stochastic rounding
-    on the TPU hardware PRNG (interpret-mode on CPU).
+    """Pallas kernel: per-tensor int8 quantization with stochastic rounding.
+
+    On TPU the uniform noise comes from the hardware PRNG
+    (pltpu.prng_random_bits) inside the kernel. On other backends the same
+    kernel math runs under the Pallas interpreter with the random bits
+    supplied from jax.random — the hardware PRNG primitives have no CPU
+    interpreter rule, so this mirrors flash_attention's interpret path and
+    keeps the rounding logic testable everywhere.
 
     Returns (int8 values, float32 scale as [1, 1]).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(seed_ref, x_ref, values_ref, scale_ref):
-        pltpu.prng_seed(seed_ref[0])
-        abs_max = jnp.max(jnp.abs(x_ref[:]))
+    def quantize_body(x, u, values_ref, scale_ref):
+        # Integer stochastic rounding: floor(x/scale + u), u ~ U[0, 1)
+        # (pltpu.stochastic_round only targets bf16/fp8, so roll our own).
+        abs_max = jnp.max(jnp.abs(x))
         scale = jnp.maximum(abs_max, 1e-8) / 127.0
         scale_ref[0, 0] = scale
-        scaled = x_ref[:] / scale
-        # Integer stochastic rounding: floor(x + u), u ~ U[0, 1) from the
-        # hardware PRNG (pltpu.stochastic_round only targets bf16/fp8).
-        bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-        # Mosaic lacks uint32→f32 casts: keep the top 24 bits, go via int32.
-        bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
-        u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
-        q = jnp.floor(scaled + u)
+        q = jnp.floor(x / scale + u)
         values_ref[:] = jnp.clip(q, -127, 127).astype(jnp.int8)
 
-    interpret = jax.default_backend() != "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+
+        def kernel(seed_ref, x_ref, values_ref, scale_ref):
+            pltpu.prng_seed(seed_ref[0])
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits(x_ref.shape), jnp.uint32
+            )
+            # Mosaic lacks uint32→f32 casts: keep the top 24 bits, via int32.
+            bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+            u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+            quantize_body(x_ref[:], u, values_ref, scale_ref)
+
+        noise_arg = jnp.asarray([seed], dtype=jnp.int32)
+        noise_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+
+        def kernel(bits_ref, x_ref, values_ref, scale_ref):
+            u = (bits_ref[:] >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+            quantize_body(x_ref[:], u, values_ref, scale_ref)
+
+        noise_arg = jax.random.bits(
+            jax.random.PRNGKey(seed), shape=w.shape, dtype=jnp.uint32
+        )
+        noise_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
     values, scale = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            noise_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -115,6 +140,6 @@ def quantize_int8_stochastic(
             jax.ShapeDtypeStruct(w.shape, jnp.int8),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        interpret=interpret,
-    )(jnp.asarray([seed], dtype=jnp.int32), w.astype(jnp.float32))
+        interpret=not on_tpu,
+    )(noise_arg, w.astype(jnp.float32))
     return values, scale
