@@ -42,6 +42,13 @@ class BatchIterator:
     marking real rows) so jit never sees a new shape. With `drop_last=True`
     (train default, matching the reference DataLoader) partial batches are
     dropped instead.
+
+    Multi-host: pass `process_index`/`process_count` and each process yields
+    only its contiguous `batch_size/process_count` slice of every global
+    batch (the same seeded permutation on every process keeps them in
+    lockstep). The slice order matches `jax.devices()` process-major device
+    order, so `DistributedRuntime.shard_batch` can assemble the global array
+    with `make_array_from_process_local_data`.
     """
 
     def __init__(
@@ -51,11 +58,25 @@ class BatchIterator:
         shuffle: bool = True,
         drop_last: bool = False,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        if batch_size % max(1, process_count) != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"process_count {process_count}"
+            )
+        if not 0 <= process_index < max(1, process_count):
+            raise ValueError(
+                f"process_index {process_index} out of range for "
+                f"process_count {process_count}"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self._epoch = 0
         self._seed = seed
 
@@ -79,6 +100,8 @@ class BatchIterator:
             order = np.random.default_rng(self._seed + epoch).permutation(n)
 
         n_batches = len(self)
+        local = self.batch_size // self.process_count
+        lo, hi = self.process_index * local, (self.process_index + 1) * local
         for b in range(n_batches):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             mask = np.ones(self.batch_size, dtype=np.float32)
@@ -89,7 +112,7 @@ class BatchIterator:
                 # datasets smaller than one batch).
                 filler = np.resize(order, pad)
                 idx = np.concatenate([idx, filler])
-            yield idx.astype(np.int32), mask
+            yield idx[lo:hi].astype(np.int32), mask[lo:hi]
 
     def epoch(self, epoch: Optional[int] = None) -> Iterator[dict[str, np.ndarray]]:
         for idx, mask in self.epoch_indices(epoch):

@@ -1,4 +1,5 @@
-"""SPMD parallelism: device mesh, sharding rules, distributed metrics."""
+"""SPMD parallelism: device mesh, sharding rules, distributed metrics,
+multi-host runtime."""
 
 from tpu_deer.parallel.mesh import (
     MeshConfig,
@@ -10,3 +11,9 @@ from tpu_deer.parallel.mesh import (
     shard_batch,
 )
 from tpu_deer.parallel.dist_metrics import global_ccc_stats, psum_tree
+from tpu_deer.parallel.runtime import (
+    DistributedRuntime,
+    RuntimeConfig,
+    initialize_runtime,
+    shutdown_runtime,
+)

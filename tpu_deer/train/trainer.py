@@ -116,10 +116,15 @@ class DEERTrainer:
         config: TrainingConfig = TrainingConfig(),
         steps_per_epoch: int = 100,
         mesh=None,
+        runtime=None,
     ):
         self.model = model
         self.config = config
         self.mesh = mesh
+        # Multi-host: a parallel.runtime.DistributedRuntime. When present and
+        # multi-process, params/batches are assembled as GLOBAL arrays from
+        # per-process pieces instead of device_put (which is single-process).
+        self.runtime = runtime
         self.steps_per_epoch = max(1, steps_per_epoch)
         self.total_steps = self.steps_per_epoch * config.num_epochs
 
@@ -133,9 +138,12 @@ class DEERTrainer:
                     f"batch_size {config.batch_size} must be divisible by the "
                     f"mesh 'data' axis ({data_size}) for even sharding"
                 )
-            from tpu_deer.parallel.mesh import shard_params
+            if runtime is not None and runtime.process_count > 1:
+                params = runtime.put_params(params, mesh)
+            else:
+                from tpu_deer.parallel.mesh import shard_params
 
-            params = shard_params(params, mesh)
+                params = shard_params(params, mesh)
 
         self.state = TrainState(
             params=params,
@@ -378,6 +386,8 @@ class DEERTrainer:
             k: v for k, v in batch.items() if k in ("audio", "video", "text", "labels")
         }
         if self.mesh is not None:
+            if self.runtime is not None and self.runtime.process_count > 1:
+                return self.runtime.shard_batch(arrays, self.mesh)
             from tpu_deer.parallel.mesh import shard_batch
 
             return shard_batch(arrays, self.mesh)
