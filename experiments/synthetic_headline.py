@@ -91,16 +91,13 @@ def main(argv=None) -> int:
     )
     # Post-hoc scalar scale fit on the VALIDATION split (standard temperature-
     # style calibration; test stays untouched by the fit).
+    from tpu_deer.eval.calibration import fit_uncertainty_scale
+
     val_pred = trainer.predict(val_ds)
-    scales = np.logspace(-1.0, 1.0, 81)
-    val_eces = [
-        ece_np(
-            val_pred["mu"], val_ds.arrays["labels"],
-            s * val_pred["calibrated_uncertainty"],
-        )
-        for s in scales
-    ]
-    best_scale = float(scales[int(np.argmin(val_eces))])
+    best_scale = fit_uncertainty_scale(
+        val_pred["mu"], val_ds.arrays["labels"],
+        val_pred["calibrated_uncertainty"],
+    )
     ece_posthoc = ece_np(
         pred["mu"], test_ds.arrays["labels"],
         best_scale * pred["calibrated_uncertainty"],

@@ -80,7 +80,9 @@ class AblationStudy:
                 num_epochs=num_epochs,
             )
             res = evaluator.evaluate_model(
-                trainer, _mask_modalities(test_ds, subset)
+                trainer,
+                _mask_modalities(test_ds, subset),
+                calibration_dataset=masked_val,
             )
             results[key] = res.to_dict()
             results[key]["modalities"] = list(subset)

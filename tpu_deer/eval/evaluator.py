@@ -34,6 +34,11 @@ class EvaluationResults:
     eval_time_s: float
     n_samples: int
     n_parameters: int = 0
+    # ECE of the raw NIG total uncertainty (unbounded scale; the headline
+    # `ece` field uses the deployable calibrated uncertainty when the
+    # evaluator is driven through evaluate_model).
+    ece_raw: float = float("nan")
+    posthoc_scale: float = 1.0
 
     @property
     def ccc_average(self) -> float:
@@ -64,6 +69,8 @@ class EvaluationResults:
             "eval_time_s": self.eval_time_s,
             "n_samples": self.n_samples,
             "n_parameters": self.n_parameters,
+            "ece_raw": self.ece_raw,
+            "posthoc_scale": self.posthoc_scale,
         }
 
 
@@ -130,12 +137,49 @@ class DEERModelEvaluator:
         )
 
     def evaluate_model(
-        self, trainer, dataset: ArrayDataset, n_parameters: int = 0
+        self,
+        trainer,
+        dataset: ArrayDataset,
+        n_parameters: int = 0,
+        calibration_dataset: Optional[ArrayDataset] = None,
     ) -> EvaluationResults:
+        """Evaluate a trained model on a dataset.
+
+        The headline ECE is computed on the model's *deployable* uncertainty
+        (the learned calibration layer's output, bounded [0,1]) — raw NIG
+        total uncertainty lives on an unbounded scale where the 1-u
+        confidence mapping is meaningless (it produced the >1 ECE values
+        the reference's formula yields on undertrained models). When a
+        `calibration_dataset` (validation split) is given, a post-hoc
+        scalar scale is fit on it and applied — test stays untouched by
+        the fit. Raw-uncertainty ECE is kept in `ece_raw`, and the
+        uncertainty-error correlation always uses raw uncertainty (ranking
+        signal, scale-free).
+        """
+        from tpu_deer.eval.calibration import fit_uncertainty_scale
+
         out = trainer.predict(dataset)
-        return self.evaluate_arrays(
-            out["mu"], dataset.arrays["labels"], out["uncertainty"], n_parameters
+        labels = dataset.arrays["labels"]
+        deployable = out.get("calibrated_uncertainty", out["uncertainty"])
+        scale = 1.0
+        if calibration_dataset is not None:
+            cal_out = trainer.predict(calibration_dataset)
+            cal_unc = cal_out.get(
+                "calibrated_uncertainty", cal_out["uncertainty"]
+            )
+            scale = fit_uncertainty_scale(
+                cal_out["mu"], calibration_dataset.arrays["labels"], cal_unc
+            )
+        res = self.evaluate_arrays(
+            out["mu"], labels, scale * deployable, n_parameters
         )
+        res.ece_raw = metrics_lib.ece_np(out["mu"], labels, out["uncertainty"])
+        err = np.abs(out["mu"] - labels).mean(axis=1)
+        res.uncertainty_error_correlation = metrics_lib.pearson_np(
+            err, np.asarray(out["uncertainty"]).mean(axis=1)
+        )
+        res.posthoc_scale = scale
+        return res
 
 
 def evaluate_deer_model(

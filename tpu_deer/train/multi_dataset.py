@@ -100,7 +100,9 @@ class MultiDatasetFramework:
         per_dataset = {}
         for name, d in self.datasets.items():
             test = d.get("test") or d["val"]
-            res = evaluator.evaluate_model(self.joint_trainer, test)
+            res = evaluator.evaluate_model(
+                self.joint_trainer, test, calibration_dataset=d["val"]
+            )
             per_dataset[name] = res.to_dict()
             logger.info(
                 f"[joint → {name}] CCC {res.ccc_average:.4f} ECE {res.ece:.4f}"
