@@ -98,29 +98,64 @@ def main() -> int:
     from tpu_deer.data.pipeline import ArrayDataset
     from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
     from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
-    from tpu_deer.utils.profiling import profile_training_speed
+    from tpu_deer.utils.profiling import (
+        calculate_model_flops,
+        peak_flops_per_chip,
+        profile_training_speed,
+    )
 
+    TRAIN_BS = 4096
     splits = make_synthetic_splits(
-        SyntheticConfig(n_train=2048, n_val=8, n_test=8)
+        SyntheticConfig(n_train=TRAIN_BS * 2, n_val=8, n_test=8)
     )
     from tpu_deer.models.deer_model import create_complete_deer_model as _ccd
 
     _, train_params = _ccd(config, seed=0)
     trainer = DEERTrainer(
         model, train_params,
-        TrainingConfig(batch_size=512, num_epochs=1), steps_per_epoch=4,
+        TrainingConfig(batch_size=TRAIN_BS, num_epochs=1), steps_per_epoch=4,
     )
+    # Async dispatch (sync once at the end) — the throughput a real training
+    # loop sees; per-step sync through the remote tunnel is a measurement
+    # artifact, not device time.
     train_stats = profile_training_speed(
-        trainer, ArrayDataset(splits["train"], "bench"), iters=20
+        trainer, ArrayDataset(splits["train"], "bench"), iters=40,
+        sync_per_step=False,
     )
 
+    # --- MFU accounting (XLA cost-analysis FLOPs / peak chip FLOPs) -------
+    peak = peak_flops_per_chip()
+    fwd_flops = calculate_model_flops(forward, params, *make_batch(B))
+    train_batch = trainer._put(
+        {k: v[:TRAIN_BS] for k, v in splits["train"].items()
+         if k in ("audio", "video", "text", "labels")}
+    )
+    train_flops = calculate_model_flops(
+        trainer._train_step_impl, trainer.state, train_batch,
+        jnp.asarray(1.0), jnp.asarray(1.0),
+    )
+
+    def mfu(flops_per_call, calls_per_sec):
+        if not (peak and flops_per_call):
+            return None
+        return 100.0 * flops_per_call * calls_per_sec / peak
+
+    mfu_fwd = mfu(fwd_flops, throughput / B)
+    mfu_train = mfu(train_flops, train_stats["samples_per_sec"] / TRAIN_BS)
+    fmt = lambda v: f"{v:.1f}%" if v is not None else "n/a"
+
+    peak_note = f" (peak {peak/1e12:.0f} TF bf16)" if peak else ""
     print(
         f"# platform={platform} params={n_params:,} dtype={compute_dtype} "
         f"p50={p50:.3f}ms p99={p99:.3f}ms "
         f"throughput={throughput:,.0f} samples/s/chip (batch {B}) | "
         f"train {train_stats['samples_per_sec']:,.0f} samples/s/chip "
         f"(bs {train_stats['batch_size']}) | "
-        f"audio frontend (3s utt) p50 {np.percentile(fe_stats, 50):.2f}ms",
+        f"mfu_fwd={fmt(mfu_fwd)} mfu_train={fmt(mfu_train)}{peak_note}",
+        file=sys.stderr,
+    )
+    print(
+        f"# audio frontend (3s utt) p50 {np.percentile(fe_stats, 50):.2f}ms",
         file=sys.stderr,
     )
     print(

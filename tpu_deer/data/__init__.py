@@ -2,3 +2,4 @@
 
 from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
 from tpu_deer.data.pipeline import ArrayDataset, BatchIterator
+from tpu_deer.data.vocab import CorpusVocab

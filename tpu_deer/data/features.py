@@ -154,20 +154,32 @@ _TOKEN_RE = re.compile(r"[a-z']+")
 
 
 class TextFeatureExtractor:
-    """768-d text features: local BERT if available, else hashed projection.
+    """768-d text features, best available semantic backend first:
 
-    The hashed path: signed feature hashing of words + bigrams into 768 bins,
-    l2-normalized — deterministic, zero-dependency, and linearly separable
-    enough for the emotion-keyword signal the datasets carry.
+    1. local pretrained BERT (torch, offline dir via `bert_dir` or
+       $TPU_DEER_BERT_DIR) — the reference's path (preprocessing.py:702-729);
+    2. a corpus-MLM-pretrained TextSequenceEncoder (directory saved by
+       train.text_pretrain.TextEncoderFeaturizer, via `encoder_dir` or
+       $TPU_DEER_TEXT_ENCODER_DIR) — the trained replacement when no BERT
+       weights exist (zero-egress image);
+    3. hashed projection fallback: signed feature hashing of words + bigrams
+       into 768 bins, l2-normalized — deterministic and zero-dependency, but
+       it cannot generalize across surface forms (see
+       tests/test_text_pretrain.py for the measured gap).
     """
 
-    def __init__(self, bert_dir: Optional[str] = None):
+    def __init__(
+        self,
+        bert_dir: Optional[str] = None,
+        encoder_dir: Optional[str] = None,
+    ):
         self.bert = None
         self.tokenizer = None
+        self.encoder = None
         bert_dir = bert_dir or os.environ.get("TPU_DEER_BERT_DIR")
         if bert_dir and os.path.isdir(bert_dir):
             try:
-                import torch
+                import torch  # noqa: F401
                 from transformers import AutoModel, AutoTokenizer
 
                 self.tokenizer = AutoTokenizer.from_pretrained(bert_dir)
@@ -175,7 +187,22 @@ class TextFeatureExtractor:
                 self.bert.eval()
                 logger.info(f"text features: BERT from {bert_dir}")
             except Exception as e:
-                logger.warning(f"local BERT unavailable ({e}); using hashed features")
+                logger.warning(f"local BERT unavailable ({e}); trying next backend")
+        if self.bert is None:
+            encoder_dir = encoder_dir or os.environ.get("TPU_DEER_TEXT_ENCODER_DIR")
+            if encoder_dir and os.path.isdir(encoder_dir):
+                try:
+                    from tpu_deer.train.text_pretrain import TextEncoderFeaturizer
+
+                    self.encoder = TextEncoderFeaturizer.load(encoder_dir)
+                    logger.info(
+                        f"text features: MLM-pretrained encoder from {encoder_dir}"
+                    )
+                except Exception as e:
+                    logger.warning(
+                        f"pretrained text encoder unavailable ({e}); "
+                        "using hashed features"
+                    )
 
     @staticmethod
     def _hash_token(token: str) -> tuple[int, float]:
@@ -196,6 +223,17 @@ class TextFeatureExtractor:
         norm = np.linalg.norm(vec)
         return vec / norm if norm > 0 else vec
 
+    @staticmethod
+    def _fit_dim(vec: np.ndarray) -> np.ndarray:
+        """Pad/truncate a backend's feature width to TEXT_DIM (a non-base
+        BERT variant may not be 768-wide)."""
+        if vec.shape[-1] == TEXT_DIM:
+            return vec
+        out = np.zeros(TEXT_DIM, dtype=np.float32)
+        n = min(TEXT_DIM, vec.shape[-1])
+        out[:n] = vec[:n]
+        return out
+
     def extract(self, text: str) -> np.ndarray:
         if not text:
             return np.zeros(TEXT_DIM, dtype=np.float32)
@@ -207,10 +245,23 @@ class TextFeatureExtractor:
                     text, return_tensors="pt", truncation=True, max_length=128
                 )
                 out = self.bert(**enc)
-            return out.last_hidden_state[0, 0].numpy().astype(np.float32)
+            return self._fit_dim(
+                out.last_hidden_state[0, 0].numpy().astype(np.float32)
+            )
+        if self.encoder is not None:
+            return self._fit_dim(self.encoder.extract(text))
         return self._hashed(text)
 
     def extract_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if self.bert is None and self.encoder is not None:
+            feats = self.encoder.extract_batch(list(texts))
+            if feats.shape[-1] != TEXT_DIM:
+                feats = np.stack([self._fit_dim(v) for v in feats])
+            # Preserve the empty-text convention of extract().
+            for i, t in enumerate(texts):
+                if not t:
+                    feats[i] = 0.0
+            return feats
         return np.stack([self.extract(t) for t in texts])
 
 

@@ -313,10 +313,19 @@ class TextSequenceEncoder(nn.Module):
     use_flash: bool = False  # Pallas flash attention for long transcripts
 
     @nn.compact
-    def __call__(self, token_ids, mask=None, *, deterministic: bool = True):
-        x = nn.Embed(self.vocab_size, self.model_dim, dtype=self.dtype, name="embed")(
-            token_ids
+    def __call__(
+        self,
+        token_ids,
+        mask=None,
+        *,
+        deterministic: bool = True,
+        return_sequence: bool = False,
+        mlm_logits: bool = False,
+    ):
+        embed = nn.Embed(
+            self.vocab_size, self.model_dim, dtype=self.dtype, name="embed"
         )
+        x = embed(token_ids)
         x = x + sinusoidal_positions(token_ids.shape[1], self.model_dim, x.dtype)[
             None
         ]
@@ -331,4 +340,13 @@ class TextSequenceEncoder(nn.Module):
         )
         out = nn.Dense(self.output_dim, dtype=self.dtype, name="out_proj")(pooled)
         out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        if mlm_logits:
+            # Tied masked-token logits (hidden @ embeddingᵀ) for the MLM
+            # pretraining objective (train.text_pretrain). Tying is what
+            # pulls same-context words into nearby embedding rows — the
+            # property the downstream featurizer relies on.
+            return out, attn, x, embed.attend(x)
+        if return_sequence:
+            # Token-level hidden states — same params, extra output.
+            return out, attn, x
         return out, attn

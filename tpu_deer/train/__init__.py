@@ -7,3 +7,8 @@ from tpu_deer.train.trainer import (
     TrainState,
     run_complete_training_pipeline,
 )
+from tpu_deer.train.text_pretrain import (
+    TextEncoderFeaturizer,
+    TextPretrainConfig,
+    pretrain_text_encoder,
+)

@@ -44,10 +44,16 @@ def profile_step(
     }
 
 
-def profile_training_speed(trainer, dataset, iters: int = 50) -> dict[str, float]:
+def profile_training_speed(
+    trainer, dataset, iters: int = 50, sync_per_step: bool = True
+) -> dict[str, float]:
     """End-to-end train-step throughput for a DEERTrainer (train.trainer).
 
     Reference behavior at training.py:554-605, measured on the jitted step.
+    With sync_per_step=False the loop dispatches all steps asynchronously and
+    blocks once at the end — the throughput a real training loop sees (per-step
+    host sync is an artifact of measurement, and through a remote-TPU tunnel
+    it dominates the step time).
     """
     import jax.numpy as jnp
 
@@ -69,21 +75,59 @@ def profile_training_speed(trainer, dataset, iters: int = 50) -> dict[str, float
     # Warmup (compilation)
     state, aux = step(state)
     jax.block_until_ready(aux["loss"])
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        state, aux = step(state)
-        jax.block_until_ready(aux["loss"])
-        times.append(time.perf_counter() - t0)
-    trainer.state = state
-    t = np.asarray(times)
     bs = trainer.config.batch_size
+    if sync_per_step:
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            state, aux = step(state)
+            jax.block_until_ready(aux["loss"])
+            times.append(time.perf_counter() - t0)
+        trainer.state = state
+        t = np.asarray(times)
+        return {
+            "step_ms_mean": float(t.mean() * 1e3),
+            "step_ms_p50": float(np.percentile(t, 50) * 1e3),
+            "samples_per_sec": float(bs / t.mean()),
+            "batch_size": bs,
+        }
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state)
+    jax.block_until_ready(aux["loss"])
+    elapsed = time.perf_counter() - t0
+    trainer.state = state
     return {
-        "step_ms_mean": float(t.mean() * 1e3),
-        "step_ms_p50": float(np.percentile(t, 50) * 1e3),
-        "samples_per_sec": float(bs / t.mean()),
+        "step_ms_mean": float(elapsed / iters * 1e3),
+        "step_ms_p50": float(elapsed / iters * 1e3),
+        "samples_per_sec": float(bs * iters / elapsed),
         "batch_size": bs,
     }
+
+
+# Peak dense-matmul throughput per chip (bf16), for MFU accounting.
+# Sources: public TPU spec sheets; override with TPU_DEER_PEAK_TFLOPS.
+PEAK_BF16_FLOPS_BY_KIND = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops_per_chip(device=None) -> Optional[float]:
+    """Best-known peak bf16 FLOP/s for a device (None when unknown/CPU)."""
+    import os
+
+    env = os.environ.get("TPU_DEER_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    device = device or jax.devices()[0]
+    if device.platform != "tpu":
+        return None
+    return PEAK_BF16_FLOPS_BY_KIND.get(device.device_kind)
 
 
 def calculate_model_flops(fn: Callable, *args) -> Optional[float]:
