@@ -333,6 +333,105 @@ class MultimodalDEERPipeline:
         logger.info(f"restored checkpoint from {model_path}")
 
 
+def run_raw_pipeline(args) -> dict:
+    """--raw: raw-media end-to-end training (waveforms + frame arrays +
+    transcripts → RawSequenceDEERModel with the Pallas front-end in-graph).
+
+    The reference sketches this dataflow (encoders.py:144-172,418-459) but
+    never trains it; here it runs: real-format corpus (datasets.raw_root in
+    the config) or a LOUD generated fixture, → train → evaluate → artifacts.
+    """
+    import jax.numpy as jnp
+
+    from tpu_deer.data.raw_corpus import generate_raw_fixture, load_raw_corpus
+    from tpu_deer.eval.evaluator import DEERModelEvaluator
+    from tpu_deer.models.hierarchical_deer import RawSequenceDEERModel
+    from tpu_deer.train.raw_trainer import RawSequenceTrainer, RawTrainingConfig
+    from tpu_deer.utils.config import load_yaml_config
+
+    config = load_yaml_config(args.config)
+    name = args.experiment_name or time.strftime("raw_experiment_%Y%m%d_%H%M%S")
+    exp_dir = os.path.join(args.output_dir, name)
+    for sub in ("results", "data", "logs"):
+        os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
+
+    raw_root = config["datasets"].get("raw_root")
+    if not (raw_root and os.path.isdir(raw_root)):
+        raw_root = os.path.join(exp_dir, "data", "raw_fixture")
+        logger.warning(
+            "no datasets.raw_root configured — generating a raw-media "
+            f"fixture corpus under {raw_root} (real-format wavs + frame "
+            "arrays + transcripts with learnable labels)"
+        )
+        n = (96, 24, 24) if args.quick else (192, 48, 48)
+        generate_raw_fixture(raw_root, *n, seed=42)
+
+    splits, vocab = load_raw_corpus(raw_root)
+    logger.info(
+        f"raw corpus: {', '.join(f'{k}={len(v['labels'])}' for k, v in splits.items())}"
+        f" | vocab {vocab.vocab_size}"
+    )
+
+    model = RawSequenceDEERModel(
+        encoder_dim=64 if args.quick else 128,
+        fusion_dim=128 if args.quick else 256,
+        vocab_size=vocab.vocab_size,
+        num_heads=4,
+        dropout=0.1,
+    )
+    import jax
+
+    tr = splits["train"]
+    # Init on a 2-sample batch (frame features computed outside init only
+    # to derive shapes; training recomputes them in-graph each step).
+    from tpu_deer.ops.audio_frontend import AudioFrontendConfig, audio_frame_features
+
+    fcfg = AudioFrontendConfig()
+    sample_frames = jax.vmap(
+        lambda s: audio_frame_features(s, fcfg, use_pallas=False)
+    )(jnp.asarray(tr["signal"][:2]))
+    params = model.init(
+        jax.random.PRNGKey(42),
+        sample_frames,
+        jnp.asarray(tr["video_frames"][:2]),
+        jnp.asarray(tr["token_ids"][:2]),
+        jnp.asarray(tr["token_mask"][:2]),
+    )["params"]
+
+    epochs = args.epochs or (12 if args.quick else 30)
+    trainer = RawSequenceTrainer(
+        model, params,
+        RawTrainingConfig(
+            learning_rate=args.learning_rate or 2e-3,
+            batch_size=args.batch_size or 32,
+            num_epochs=epochs,
+        ),
+        frontend_config=fcfg,
+    )
+    results = trainer.train(tr, splits.get("val"))
+    test = splits.get("test") or splits["val"]
+    pred = trainer.predict(test)
+    ev = DEERModelEvaluator(n_bootstrap=0).evaluate_arrays(
+        pred["mu"], test["labels"], pred["uncertainty"]
+    )
+    summary = {
+        "experiment_dir": exp_dir,
+        "raw_root": raw_root,
+        "vocab_size": vocab.vocab_size,
+        "best_val_ccc": results["best_val_ccc"],
+        "test": ev.to_dict(),
+        "history": results["history"],
+        "training_time_s": results["training_time_s"],
+    }
+    with open(os.path.join(exp_dir, "results", "raw_results.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    logger.info(
+        f"raw e2e: best val CCC {results['best_val_ccc']:.4f} | "
+        f"test CCC {ev.ccc_average:.4f} MAE {ev.mae_average:.4f}"
+    )
+    return summary
+
+
 def run_component_tests() -> bool:
     """--mode test: fast in-process smoke checks (run_multimodal_deer.py:992-1030)."""
     import jax.numpy as jnp
@@ -404,6 +503,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--quick", action="store_true",
                    help="8 epochs, batch size 32, lr 3e-3, small learnable "
                         "synthetic data (fast validation that shows learning)")
+    p.add_argument("--raw", action="store_true",
+                   help="raw-media end-to-end training: waveforms + frame "
+                        "arrays + transcripts through RawSequenceDEERModel "
+                        "with the Pallas audio front-end in-graph "
+                        "(datasets.raw_root in the config, or a generated "
+                        "fixture)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -417,6 +522,14 @@ def main(argv=None) -> int:
 
     if args.mode == "test":
         return 0 if run_component_tests() else 1
+
+    if args.raw:
+        summary = run_raw_pipeline(args)
+        print(json.dumps(
+            {"best_val_ccc": summary["best_val_ccc"],
+             "test_ccc": summary["test"]["ccc_average"],
+             "experiment_dir": summary["experiment_dir"]}, indent=2))
+        return 0
 
     overrides = {}
     if args.epochs is not None:

@@ -12,3 +12,4 @@ from tpu_deer.train.text_pretrain import (
     TextPretrainConfig,
     pretrain_text_encoder,
 )
+from tpu_deer.train.raw_trainer import RawSequenceTrainer, RawTrainingConfig
