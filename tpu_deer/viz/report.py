@@ -13,9 +13,10 @@ Parity with reference `src/utils/visualization.py` (same plot families):
     summary into an output dir)
 
 The reference's plotly "InteractiveVisualizer" (visualization.py:786-1016) is
-intentionally replaced by static exports: plotly is not in the image, and the
-capability (inspectable 3D emotion space / uncertainty dashboard) is covered
-by the 3D matplotlib figure + the JSON data export written alongside plots.
+covered by viz.html_report — a self-contained interactive HTML dashboard
+(drag-rotatable 3D emotion space, hover tooltips, light/dark) with zero
+external dependencies — written alongside the static plots and the JSON
+data export.
 """
 
 from __future__ import annotations
@@ -224,6 +225,90 @@ class PerformanceVisualizer:
         return _save(fig, save_path)
 
 
+def plot_summary_figure(
+    predictions: np.ndarray,
+    targets: np.ndarray,
+    uncertainties: Optional[np.ndarray] = None,
+    history: Optional[dict] = None,
+    save_path: str = "summary.png",
+) -> str:
+    """One combined figure with the headline panels: VA space, training
+    curves, reliability, uncertainty-vs-error, per-dim CCC, uncertainty
+    histogram — the at-a-glance summary the per-plot report lacked."""
+    from tpu_deer.core.metrics import ccc_np
+    from tpu_deer.eval.calibration import CalibrationAnalyzer
+
+    predictions = np.asarray(predictions)
+    targets = np.asarray(targets)
+    fig, axes = plt.subplots(2, 3, figsize=(16, 9))
+
+    # (0,0) VA space, predictions colored by uncertainty.
+    ax = axes[0, 0]
+    c = np.asarray(uncertainties).mean(axis=1) if uncertainties is not None else None
+    sc = ax.scatter(predictions[:, 0], predictions[:, 1], c=c, cmap="viridis",
+                    s=10, alpha=0.6)
+    if c is not None:
+        fig.colorbar(sc, ax=ax, label="uncertainty")
+    ax.set_xlabel("valence"); ax.set_ylabel("arousal")
+    ax.set_title("Predicted emotion space")
+    ax.set_xlim(-1.1, 1.1); ax.set_ylim(-1.1, 1.1); ax.grid(alpha=0.3)
+
+    # (0,1) training loss; (0,2) validation CCC — two single-axis panels
+    # (never a dual-axis chart).
+    ax = axes[0, 1]
+    if history and history.get("train_loss"):
+        ax.plot(history["train_loss"])
+        ax.set_xlabel("epoch"); ax.set_ylabel("loss")
+        ax.set_title("Training loss"); ax.grid(alpha=0.3)
+    else:
+        ax.axis("off")
+    ax = axes[0, 2]
+    if history and history.get("val_ccc"):
+        ax.plot(history["val_ccc"], color="tab:green")
+        ax.set_xlabel("validation epoch"); ax.set_ylabel("CCC")
+        ax.set_title("Validation CCC"); ax.grid(alpha=0.3)
+    else:
+        ax.axis("off")
+
+    if uncertainties is not None:
+        unc = np.asarray(uncertainties).mean(axis=1)
+        err = np.abs(predictions - targets).mean(axis=1)
+        # (1,0) reliability.
+        ax = axes[1, 0]
+        cal = CalibrationAnalyzer().analyze(predictions, targets, uncertainties)
+        rel = cal["reliability"]
+        ax.plot([0, 1], [0, 1], "--", color="gray", label="ideal")
+        ax.plot(rel["bin_confidence"], rel["bin_accuracy"], "o-", label="observed")
+        ax.set_xlabel("confidence"); ax.set_ylabel("accuracy")
+        ax.set_title(f"Reliability (ECE {cal['ece']:.3f})")
+        ax.legend(); ax.grid(alpha=0.3)
+        # (1,1) uncertainty vs error.
+        ax = axes[1, 1]
+        ax.scatter(unc, err, s=8, alpha=0.5)
+        r = np.corrcoef(unc, err)[0, 1] if len(unc) > 1 else 0.0
+        ax.set_xlabel("uncertainty"); ax.set_ylabel("|error|")
+        ax.set_title(f"Uncertainty vs error (r={r:.3f})")
+        ax.grid(alpha=0.3)
+    else:
+        axes[1, 0].axis("off")
+        axes[1, 1].axis("off")
+
+    # (1,2) per-dim CCC bars.
+    ax = axes[1, 2]
+    cccs = [ccc_np(targets[:, i], predictions[:, i])
+            for i in range(predictions.shape[1])]
+    names = list(DIMS[: predictions.shape[1]])
+    ax.bar(names, cccs, width=0.5)
+    for i, v in enumerate(cccs):
+        ax.text(i, v + 0.01, f"{v:.3f}", ha="center", fontsize=9)
+    ax.set_ylim(0, max(1.0, max(cccs) + 0.1))
+    ax.set_title("CCC per dimension"); ax.grid(alpha=0.3, axis="y")
+
+    fig.suptitle("Multimodal DEER — summary", fontsize=14)
+    fig.tight_layout(rect=(0, 0, 1, 0.97))
+    return _save(fig, save_path)
+
+
 def create_comprehensive_report(
     predictions: np.ndarray,
     targets: np.ndarray,
@@ -295,6 +380,19 @@ def create_comprehensive_report(
     paths["per_dim_metrics"] = perf.plot_per_dimension_metrics(
         metrics, p("per_dim_metrics.png")
     )
+    paths["summary"] = plot_summary_figure(
+        predictions, targets, uncertainties, history, p("summary.png")
+    )
+
+    if uncertainties is not None:
+        # Interactive dashboard (reference InteractiveVisualizer capability,
+        # visualization.py:786-1016) — self-contained HTML, no plotly.
+        from tpu_deer.viz.html_report import create_interactive_report
+
+        paths["interactive"] = create_interactive_report(
+            predictions, targets, uncertainties, history,
+            p("interactive_report.html"),
+        )
 
     with open(p("report_data.json"), "w") as f:
         json.dump({"metrics": metrics, "plots": paths}, f, indent=2)
