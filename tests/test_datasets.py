@@ -116,6 +116,31 @@ class TestIEMOCAP:
             a["test"].arrays["audio"], b["test"].arrays["audio"]
         )
 
+    def test_pretrain_text_backend(self, iemocap_root, tmp_path):
+        """pretrain_text=True MLM-pretrains the text featurizer on the
+        corpus' own transcripts and caches it — text features then come
+        from the trained encoder, not hashing."""
+        import os
+
+        from tpu_deer.data.iemocap import load_iemocap
+
+        cdir = str(tmp_path / "cache")
+        splits = load_iemocap(iemocap_root, cache_dir=cdir, pretrain_text=True)
+        ds = splits["test"]
+        assert np.abs(ds.arrays["text"]).sum() > 0
+        # The pretrained encoder was cached for reuse.
+        assert os.path.exists(
+            os.path.join(cdir, "text_encoder", "encoder.msgpack")
+        )
+        # Features differ from the hashed baseline on the same transcripts.
+        hashed = MultimodalFeatureExtractor().text.extract("hello there friend")
+        assert not np.allclose(ds.arrays["text"][0], hashed)
+        # Second load: dataset cache hit, identical features.
+        again = load_iemocap(iemocap_root, cache_dir=cdir, pretrain_text=True)
+        np.testing.assert_array_equal(
+            ds.arrays["text"], again["test"].arrays["text"]
+        )
+
 
 class TestRAVDESS:
     def test_parse_and_split(self, ravdess_root, extractor):

@@ -132,14 +132,25 @@ def load_iemocap(
     quick: bool = False,
     cache_dir: Optional[str] = None,
     extractor=None,
+    pretrain_text: bool = False,
 ) -> dict[str, ArrayDataset]:
-    """Parse + featurize IEMOCAP → {"train"/"val"/"test": ArrayDataset}."""
+    """Parse + featurize IEMOCAP → {"train"/"val"/"test": ArrayDataset}.
+
+    With pretrain_text=True and no semantic text backend configured (no
+    local BERT, no saved encoder dir), the text featurizer is MLM-pretrained
+    on the corpus' own TRAIN-split transcripts (train.text_pretrain) and
+    cached under the feature cache dir — the trained replacement for the
+    reference's BERT features (preprocessing.py:702-729) in a zero-egress
+    environment.
+    """
     from tpu_deer.data.features import MultimodalFeatureExtractor
     from tpu_deer.data.audio_io import load_wav
 
     root = Path(root_path)
     cdir = cache_dir_for(root_path, cache_dir)
     key = f"iemocap_{'quick' if quick else 'full'}_v2"
+    if pretrain_text:
+        key += "_mlmtext"
     cached = load_cached(cdir, key)
     if cached is not None:
         return _split_arrays(cached)
@@ -157,6 +168,16 @@ def load_iemocap(
     val_speakers = set(speakers_14[-n_val:])
 
     extractor = extractor or MultimodalFeatureExtractor()
+    if (
+        pretrain_text
+        and extractor.text.bert is None
+        and extractor.text.encoder is None
+    ):
+        train_texts = [
+            s["text"] for s in samples
+            if s["text"] and _assign_split(s, val_speakers) == "train"
+        ]
+        extractor.text.encoder = _corpus_text_featurizer(train_texts, cdir)
 
     # Threaded decode: the native C++ wav reader releases the GIL, so a small
     # pool parallelizes the host-bound decode+resample across utterances.
@@ -204,6 +225,39 @@ def load_iemocap(
     }
     save_cached(cdir, key, arrays)
     return _split_arrays(arrays)
+
+
+def _corpus_text_featurizer(train_texts: list[str], cache_dir: Path):
+    """MLM-pretrain (or load from cache) a text featurizer on corpus text."""
+    from tpu_deer.train.text_pretrain import (
+        TextEncoderFeaturizer,
+        TextPretrainConfig,
+        pretrain_text_encoder,
+    )
+
+    enc_dir = Path(cache_dir) / "text_encoder"
+    if (enc_dir / "encoder.msgpack").exists():
+        logger.info(f"text features: cached MLM encoder from {enc_dir}")
+        return TextEncoderFeaturizer.load(str(enc_dir))
+    if not train_texts:
+        raise ValueError("pretrain_text=True but the corpus has no train text")
+    # Scale the schedule to corpus size: tiny fixtures get more epochs.
+    epochs = int(np.clip(40000 // max(len(train_texts), 1), 5, 60))
+    logger.info(
+        f"text features: MLM-pretraining on {len(train_texts)} transcripts "
+        f"({epochs} epochs)…"
+    )
+    params, vocab, history = pretrain_text_encoder(
+        train_texts,
+        config=TextPretrainConfig(num_epochs=epochs),
+    )
+    logger.info(
+        f"MLM pretraining done: loss {history['mlm_loss'][0]:.3f} → "
+        f"{history['mlm_loss'][-1]:.3f}, acc {history['mlm_accuracy'][-1]:.3f}"
+    )
+    featurizer = TextEncoderFeaturizer(params, vocab)
+    featurizer.save(str(enc_dir))
+    return featurizer
 
 
 def _split_arrays(arrays: dict) -> dict[str, ArrayDataset]:

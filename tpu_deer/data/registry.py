@@ -34,6 +34,10 @@ def load_configured_datasets(config: dict, quick: bool = False) -> Optional[dict
 
     names = config.get("datasets", {}).get("names", [])
     paths = config.get("datasets", {}).get("paths", {})
+    # datasets.pretrain_text: MLM-pretrain the text featurizer on corpus
+    # transcripts when no BERT/saved encoder is available (IEMOCAP only —
+    # it is the corpus with real transcripts).
+    pretrain_text = bool(config.get("datasets", {}).get("pretrain_text", False))
     out = {"train": {}, "val": {}, "test": {}}
     found = False
     for name in names:
@@ -45,7 +49,10 @@ def load_configured_datasets(config: dict, quick: bool = False) -> Optional[dict
             logger.warning(f"unknown dataset {name!r} — skipping")
             continue
         try:
-            splits = loader(path, quick=quick)
+            kwargs = {"quick": quick}
+            if name.upper() == "IEMOCAP" and pretrain_text:
+                kwargs["pretrain_text"] = True
+            splits = loader(path, **kwargs)
         except Exception as e:
             logger.warning(f"failed to load {name} from {path}: {e}")
             continue
