@@ -97,11 +97,13 @@ def main(argv=None) -> int:
     if args.grid == "small":
         grid = [(1.0, 0.1, 0.05, "v2")]
     else:
+        # TrainingConfig knobs; under v2 they scale reg_weight (0.1×ew) and
+        # kl_weight_v2 (0.1×kw).
         grid = list(itertools.product(
-            (0.5, 1.0, 2.0),      # evidence_weight
-            (0.01, 0.1),          # kl_weight
-            (0.05,),              # calibration_alignment_weight
-            ("v2",),              # loss variant
+            (0.5, 1.0, 3.0, 10.0),  # evidence_weight
+            (0.1, 1.0),             # kl_weight
+            (0.05,),                # calibration_alignment_weight
+            ("v2",),                # loss variant
         ))
 
     results = []

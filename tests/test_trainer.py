@@ -75,6 +75,26 @@ class TestTraining:
         tl = results["history"]["train_loss"]
         assert tl[-1] < tl[0]
 
+    def test_loss_weight_knobs_are_live_under_v2(self):
+        """Regression: evidence_weight/kl_weight must change the v2 loss
+        (they were silently dead — mapped only onto the v1-only fields)."""
+        import jax.numpy as jnp
+
+        train, _ = _datasets()
+        losses = {}
+        for ew in (0.5, 10.0):
+            trainer, _ = _trainer(evidence_weight=ew)
+            batch = trainer._put(
+                next(iter(
+                    BatchIterator(train["synthetic"], 64, shuffle=False).epoch(0)
+                ))
+            )
+            _, aux = trainer._train_step(
+                trainer.state, batch, jnp.asarray(1.0), jnp.asarray(1.0)
+            )
+            losses[ew] = float(aux["loss"])
+        assert losses[0.5] != losses[10.0], losses
+
     def test_validate_reports_all_metrics(self):
         train, val = _datasets()
         trainer, _ = _trainer(num_epochs=1)

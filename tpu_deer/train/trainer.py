@@ -303,10 +303,17 @@ class DEERTrainer:
         dim_names = self.model.config.dim_names
         ps = [out[f"{n}_params"] for n in dim_names]
         y = batch["labels"]
+        # Map the trainer's evidence/kl knobs onto the ACTIVE variant's
+        # weights: v1 reads evidence_weight/kl_weight, v2 reads
+        # reg_weight/kl_weight_v2 (previously the knobs were silently dead
+        # under the default v2 loss). The v2 defaults (0.1 / 0.01) are
+        # recovered by scaling the knob defaults (1.0 / 0.1) by 0.1.
         lcfg = loss_lib.DEERLossConfig(
             variant=cfg.loss_variant,
             evidence_weight=cfg.evidence_weight,
             kl_weight=cfg.kl_weight,
+            reg_weight=0.1 * cfg.evidence_weight,
+            kl_weight_v2=0.1 * cfg.kl_weight,
         )
         if cfg.loss_type == "combined":
             loss_out = loss_lib.combined_deer_loss(ps, y, lcfg)
