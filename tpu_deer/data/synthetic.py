@@ -29,6 +29,14 @@ class SyntheticConfig:
     # label noise, so uncertainty estimation has real signal to learn.
     hard_fraction: float = 0.3
     hard_noise: float = 0.4
+    # Whether hardness is a FUNCTION OF THE FEATURES (a fixed audio-feature
+    # projection above its quantile) or independent coin flips. Independent
+    # hardness is unlearnable by construction — no model can rank
+    # uncertainty by a label the features don't carry — which capped
+    # uncertainty-error correlation at ~0.5 (the tanh-squash side signal)
+    # in round-1 results. Feature-dependent hardness makes the benchmark
+    # actually test uncertainty learning.
+    hard_from_features: bool = True
     seed: int = 42
     # Seed for the label-generating projections; defaults to `seed`. Give two
     # configs the same label_seed (and different seeds) to create distinct
@@ -60,7 +68,19 @@ def _make_split(cfg: SyntheticConfig, n: int, rng: np.random.Generator) -> dict:
     base = audio @ w_a + video @ w_v + text @ w_t
     signal = np.tanh(base + 0.5 * np.tanh(base @ w2))
 
-    is_hard = rng.random(n) < cfg.hard_fraction
+    if cfg.hard_from_features and cfg.hard_fraction > 0:
+        # Hardness carried by the features: a fixed projection of the audio
+        # features above its (1 - hard_fraction) quantile. The quantile is a
+        # distributional constant (standard normal projection), so splits
+        # share the same decision rule.
+        w_h = proj_rng.standard_normal(cfg.audio_dim) / np.sqrt(cfg.audio_dim)
+        hard_score = audio @ w_h
+        from scipy.stats import norm
+
+        thresh = norm.ppf(1.0 - cfg.hard_fraction)
+        is_hard = hard_score > thresh
+    else:
+        is_hard = rng.random(n) < cfg.hard_fraction
     noise_scale = np.where(is_hard, cfg.hard_noise, cfg.label_noise)
     labels = np.tanh(
         signal + noise_scale[:, None] * rng.standard_normal((n, cfg.emotion_dims))
