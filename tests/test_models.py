@@ -126,6 +126,50 @@ class TestCompleteModel:
             np.any(np.asarray(g) != 0) for g in jax.tree_util.tree_leaves(cal)
         )
 
+    def test_calibration_is_monotone_for_any_params(self, rng):
+        # Regression: an unconstrained calibration map learned a DECREASING
+        # function of raw uncertainty in round-2 sweeps, inverting the
+        # uncertainty ranking (r(calibrated) == -r(raw)). The layer is now
+        # monotone nondecreasing by construction — for ANY parameter values.
+        from tpu_deer.models.heads import UncertaintyCalibrationLayer
+
+        layer = UncertaintyCalibrationLayer(3)
+        u = jnp.asarray(rng.uniform(0.01, 5.0, (64, 3)), jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), u)
+        adversarial = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                np.random.default_rng(1).standard_normal(x.shape), x.dtype
+            )
+            * 2.0,
+            params,
+        )
+        for p in (params, adversarial):
+            cal = layer.apply(p, u)
+            for d in range(3):
+                order = jnp.argsort(u[:, d])
+                assert bool(jnp.all(jnp.diff(cal[order, d]) >= -1e-7))
+
+    def test_calibration_input_is_stop_gradiented(self, model_and_params, rng):
+        # The alignment loss trains the calibration layer only; it must not
+        # reach back into the evidence heads through the calibrated output.
+        model, params = model_and_params
+        a, v, t = _inputs(rng)
+        y = jnp.asarray(np.tanh(rng.normal(size=(B, 3))), dtype=jnp.float32)
+
+        def cal_only_loss(params):
+            out = model.apply({"params": params}, a, v, t)
+            err = jax.lax.stop_gradient(jnp.abs(out["mu_all"] - y))
+            return jnp.mean(jnp.square(out["calibrated_uncertainty"] - err))
+
+        grads = jax.grad(cal_only_loss)(params)
+        for key, sub in grads.items():
+            leaves = jax.tree_util.tree_leaves(sub)
+            nonzero = any(np.any(np.asarray(g) != 0) for g in leaves)
+            if key == "calibration":
+                assert nonzero
+            else:
+                assert not nonzero, f"alignment loss leaked into {key}"
+
     def test_dropout_train_mode_stochastic(self, model_and_params, rng):
         model, params = model_and_params
         a, v, t = _inputs(rng)

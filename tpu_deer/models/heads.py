@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tpu_deer.core.nig import nig_params_from_evidence, nig_uncertainties
@@ -95,25 +96,51 @@ class MultiDimensionalDEER(nn.Module):
 
 
 class UncertaintyCalibrationLayer(nn.Module):
-    """Learned temperature + shared MLP-sigmoid calibration map per dim.
+    """Learned temperature + shared monotone MLP-sigmoid calibration map.
 
     The reference loops over dims calling a shared 1→32→16→1 net
     (complete_project.py:439-459); here all dims go through in one batched
-    pass ([B, D] → [B*D, 1] → [B, D]) — same math, one XLA fusion.
+    pass ([B, D] → [B*D, 1] → [B, D]).
+
+    Two hardening changes over the reference (which defines but never trains
+    this layer, so its pathologies go unobserved there):
+      * the per-dim temperature is positive by construction (softplus) — an
+        unconstrained temperature trained via the alignment loss could go
+        negative, flipping the sign of the map's input and thereby the
+        RANKING of calibrated uncertainty (observed in round-2 sweeps:
+        r(calibrated) == -r(raw));
+      * the scalar map is monotone nondecreasing by construction (non-negative
+        kernels via abs, monotone activations), so calibration can only
+        rescale uncertainty, never invert its ordering;
+      * the input is stop-gradiented: calibration is post-hoc and must not
+        push the evidence heads around through the alignment loss.
     """
 
     num_dimensions: int = 3
     dtype: Dtype = jnp.float32
 
+    def _monotone_dense(self, name, x, features):
+        kernel = self.param(
+            name + "_kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], features), self.dtype,
+        )
+        bias = self.param(name + "_bias", nn.initializers.zeros, (features,),
+                          self.dtype)
+        return x @ jnp.abs(kernel) + bias
+
     @nn.compact
     def __call__(self, uncertainties):
-        temperature = self.param(
-            "temperature", nn.initializers.ones, (self.num_dimensions,)
+        uncertainties = jax.lax.stop_gradient(uncertainties)
+        raw_t = self.param(
+            "temperature",
+            nn.initializers.constant(0.5413248),  # softplus(0.5413) = 1.0
+            (self.num_dimensions,),
         )
+        temperature = jax.nn.softplus(raw_t) + 1e-3
         scaled = uncertainties / temperature[None, :]
         b, d = scaled.shape
         flat = scaled.reshape(b * d, 1)
-        h = nn.relu(nn.Dense(32, dtype=self.dtype, name="cal1")(flat))
-        h = nn.relu(nn.Dense(16, dtype=self.dtype, name="cal2")(h))
-        cal = nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="cal3")(h))
+        h = nn.relu(self._monotone_dense("cal1", flat, 32))
+        h = nn.relu(self._monotone_dense("cal2", h, 16))
+        cal = nn.sigmoid(self._monotone_dense("cal3", h, 1))
         return cal.reshape(b, d)

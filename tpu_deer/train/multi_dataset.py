@@ -128,12 +128,19 @@ class MultiDatasetFramework:
                 {src: d_src["train"]}, {src: d_src["val"]}, num_epochs=num_epochs
             )
             src_test = d_src.get("test") or d_src["val"]
-            src_ccc = evaluator.evaluate_model(trainer, src_test).ccc_average
+            src_ccc = evaluator.evaluate_model(
+                trainer, src_test, calibration_dataset=d_src["val"]
+            ).ccc_average
             for tgt, d_tgt in self.datasets.items():
                 if tgt == src:
                     continue
                 tgt_test = d_tgt.get("test") or d_tgt["val"]
-                tgt_res = evaluator.evaluate_model(trainer, tgt_test)
+                # Calibrate on the SOURCE validation split: in a transfer
+                # setting the target's labels are unseen, so the deployable
+                # uncertainty scale is the one fit on source data.
+                tgt_res = evaluator.evaluate_model(
+                    trainer, tgt_test, calibration_dataset=d_src["val"]
+                )
                 eff = cross_dataset_transfer_effectiveness(
                     src_ccc, tgt_res.ccc_average
                 )
