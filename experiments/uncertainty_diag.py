@@ -34,7 +34,8 @@ def pearson(a, b):
     return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
 
 
-def run_one(splits, model_config, args, epochs, evidence_w, kl_w, lr):
+def run_one(splits, model_config, args, epochs, evidence_w, kl_w, lr,
+            moment_w=0.1):
     import numpy as np
 
     from tpu_deer.data.pipeline import ArrayDataset
@@ -55,6 +56,10 @@ def run_one(splits, model_config, args, epochs, evidence_w, kl_w, lr):
             early_stopping_patience=1000, val_frequency=10,
             evidence_weight=evidence_w, kl_weight=kl_w,
             calibration_alignment_weight=0.05, loss_variant="v2",
+            aleatoric_moment_weight=moment_w,
+            # whole-epoch lax.scan: at 128 steps/epoch x 100 epochs the
+            # ~50 ms/step remote-dispatch latency would dominate wall clock
+            fused_epochs=True,
         ),
         steps_per_epoch=len(train_ds) // args.batch_size,
     )
@@ -110,22 +115,26 @@ def main(argv=None) -> int:
 
     platform = jax.devices()[0].platform
 
-    # Round-2 findings so far (RESULTS_uncertainty_diag.json, first batch):
-    #   * KL weight is NOT the cap (0.1 vs 0.01 ~equal; 0.0 is chaotic);
-    #   * r(uncertainty, true noise scale) ~ 0 — the head never learns the
-    #     hardness feature at 16k train samples;
-    #   * r(true noise, |model err|) ~ 0.30 — mu approximation error
-    #     dominates (easy-sample err 0.18 vs oracle 0.08).
-    # Second batch probes the data axis: 4x samples, and lower dropout.
-    # (epochs, evidence_w, kl_w, lr, n_train, dropout, batch)
+    # Round-2 findings (RESULTS_uncertainty_diag{,2}.json):
+    #   batch 1: KL weight is NOT the cap; r(uncertainty, true noise) ~ 0 at
+    #     16k samples; mu approximation error dominates realized error.
+    #   batch 2: 64k samples + dropout 0.1 -> r(uncertainty, true noise)
+    #     JUMPS to 0.78 (dropout 0.3 was blocking the hardness feature);
+    #     CCC 0.94, but r(unc, err) still 0.54 because mu error remains
+    #     partially approximation-dominated (r_oracle 0.48).
+    #   batch 3 (these probes): 2x data again + aleatoric moment matching
+    #     on/off — close the remaining mu gap and rank residuals directly.
+    #   batch 3 results: moment_w 0 best (r_noise 0.89, AUSE 0.118); easy-
+    #     sample err 0.093 vs oracle 0.023 — remaining gap is all mu
+    #     approximation error. Batch 4: 2x data again, dropout -> 0.
+    # (epochs, evidence_w, kl_w, lr, n_train, dropout, batch, moment_w)
     probes = [
-        (60, 1.0, 0.1, 2e-3, args.n_train, 0.3, 512),
-        (60, 1.0, 0.1, 2e-3, 4 * args.n_train, 0.3, 1024),
-        (60, 1.0, 0.1, 2e-3, 4 * args.n_train, 0.1, 1024),
+        (100, 1.0, 0.1, 2e-3, 16 * args.n_train, 0.05, 2048, 0.0),
+        (100, 1.0, 0.1, 2e-3, 16 * args.n_train, 0.0, 2048, 0.0),
     ]
     results = []
     t0 = time.time()
-    for epochs, ew, kw, lr, n_train, dropout, batch in probes:
+    for epochs, ew, kw, lr, n_train, dropout, batch, moment_w in probes:
         splits = make_synthetic_splits(
             SyntheticConfig(
                 n_train=n_train, n_val=max(2048, n_train // 16),
@@ -137,8 +146,10 @@ def main(argv=None) -> int:
             compute_dtype="bfloat16" if platform == "tpu" else "float32",
         )
         args.batch_size = batch
-        res = run_one(splits, model_config, args, epochs, ew, kw, lr)
-        res.update(n_train=n_train, dropout=dropout, batch=batch)
+        res = run_one(splits, model_config, args, epochs, ew, kw, lr,
+                      moment_w=moment_w)
+        res.update(n_train=n_train, dropout=dropout, batch=batch,
+                   moment_w=moment_w)
         results.append(res)
         print(json.dumps(res, default=float), flush=True)
 

@@ -95,6 +95,36 @@ class TestTraining:
             losses[ew] = float(aux["loss"])
         assert losses[0.5] != losses[10.0], losses
 
+    def test_aleatoric_moment_knob_is_live(self):
+        """aleatoric_moment_weight must change the loss, report its component
+        in aux, and be exactly absent when 0. (End-to-end effect is a
+        data-regime question — measured in experiments/RESULTS_uncertainty_
+        diag*.json — not assertable on a 256-sample fixture.)"""
+        import jax.numpy as jnp
+
+        train, _ = _datasets()
+        losses, moments = {}, {}
+        for w in (0.0, 0.5):
+            trainer, _ = _trainer(aleatoric_moment_weight=w)
+            # fresh batch per trainer: _train_step donates its input buffers,
+            # and the returned state must replace the donated trainer.state
+            batch = trainer._put(next(iter(
+                BatchIterator(train["synthetic"], 64, shuffle=False).epoch(0)
+            )))
+            trainer.state, aux = trainer._train_step(
+                trainer.state, batch, jnp.asarray(1.0), jnp.asarray(1.0)
+            )
+            losses[w] = float(aux["loss"])
+            moments[w] = float(aux["aleatoric_moment"])
+        assert losses[0.0] != losses[0.5]
+        assert moments[0.0] == 0.0
+        assert moments[0.5] > 0.0
+        # identical init params + batch, so the total-loss gap must be
+        # exactly the weighted moment term
+        np.testing.assert_allclose(
+            abs(losses[0.5] - losses[0.0] - 0.5 * moments[0.5]), 0.0, atol=2e-2
+        )
+
     def test_validate_reports_all_metrics(self):
         train, val = _datasets()
         trainer, _ = _trainer(num_epochs=1)

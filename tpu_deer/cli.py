@@ -181,6 +181,7 @@ class MultimodalDEERPipeline:
             save_frequency=int(t.get("save_frequency", 10)),
             evidence_weight=float(t.get("evidence_weight", 1.0)),
             kl_weight=float(t.get("kl_weight", 0.1)),
+            aleatoric_moment_weight=float(t.get("aleatoric_moment_weight", 0.0)),
             seed=self.seed,
         )
         steps = sum(

@@ -41,6 +41,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "num_epochs": 100,
         "evidence_weight": 1.0,
         "kl_weight": 0.1,
+        # log-space moment matching of aleatoric beta/(alpha-1) to realized
+        # residuals; opt-in — see TrainingConfig.aleatoric_moment_weight.
+        "aleatoric_moment_weight": 0.0,
         "scheduler": "cosine",
         "warmup_epochs": 5,
         "early_stopping_patience": 10,
