@@ -192,9 +192,15 @@ class DEERTrainer:
         self._plateau_best = -np.inf
         self._plateau_wait = 0
 
+    # Device-staging budget for training data. A v5e chip has 16 GB HBM and
+    # the flagship model+optimizer take < 100 MB, so several GB of staged
+    # data is safe; the old 1 GB cap silently dropped 262k-sample synthetic
+    # runs onto the per-step dispatch path (~50 ms/step via the tunnel).
+    STAGE_BYTES_LIMIT = 4_000_000_000
+
     # -- device-resident data ----------------------------------------------
     def _stage(self, dataset: ArrayDataset) -> Optional[dict]:
-        """Put a dataset's model-input arrays on device once (≤ ~1 GB)."""
+        """Put a dataset's model-input arrays on device once (≤ STAGE_BYTES_LIMIT)."""
         if self.mesh is not None:
             return None
         key = id(dataset)
@@ -205,7 +211,7 @@ class DEERTrainer:
                 if k in ("audio", "video", "text", "labels")
             }
             nbytes = sum(v.nbytes for v in arrays.values())
-            if nbytes > 1_000_000_000:
+            if nbytes > self.STAGE_BYTES_LIMIT:
                 return None
             self._staged[key] = {k: jax.device_put(v) for k, v in arrays.items()}
         return self._staged[key]
@@ -236,7 +242,7 @@ class DEERTrainer:
             for k in ("audio", "video", "text", "labels"):
                 arrays.setdefault(k, []).append(d.arrays[k])
         combined = {k: np.concatenate(v) for k, v in arrays.items()}
-        if sum(v.nbytes for v in combined.values()) > 1_000_000_000:
+        if sum(v.nbytes for v in combined.values()) > self.STAGE_BYTES_LIMIT:
             self._combined_cache[key] = None
             return None
         staged = {k: jax.device_put(v) for k, v in combined.items()}
