@@ -22,11 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
+    # Defaults are the recipe from the uncertainty-ranking investigation
+    # (RESULTS_uncertainty_diag.md): 524k samples, dropout 0.05, 100 fused
+    # epochs — CCC 0.971, r(uncertainty, err) 0.77, AUSE 0.095 vs the data
+    # ceiling r 0.848 / AUSE 0.075.
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=40)
-    p.add_argument("--n_train", type=int, default=20000)
-    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--n_train", type=int, default=524288)
+    p.add_argument("--batch_size", type=int, default=4096)
     p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--dropout", type=float, default=0.05)
     p.add_argument("--calibration_weight", type=float, default=0.15)
     p.add_argument("--out", default="experiments/RESULTS_synthetic")
     args = p.parse_args(argv)
@@ -58,7 +63,8 @@ def main(argv=None) -> int:
     test_ds = ArrayDataset(splits["test"], "synthetic")
 
     config = DEERModelConfig(
-        compute_dtype="bfloat16" if platform == "tpu" else "float32"
+        dropout=args.dropout,
+        compute_dtype="bfloat16" if platform == "tpu" else "float32",
     )
     model, params = create_complete_deer_model(config, seed=0)
     n_params = count_parameters(params)
@@ -69,8 +75,11 @@ def main(argv=None) -> int:
         TrainingConfig(
             learning_rate=args.lr, batch_size=args.batch_size,
             num_epochs=args.epochs, warmup_epochs=2, scheduler="cosine",
-            early_stopping_patience=15, val_frequency=2,
+            early_stopping_patience=50, val_frequency=10,
             calibration_alignment_weight=args.calibration_weight,
+            # one lax.scan dispatch per epoch — at 128 steps/epoch the
+            # remote-dispatch latency otherwise dominates wall clock
+            fused_epochs=True,
         ),
         steps_per_epoch=steps,
     )
@@ -106,6 +115,11 @@ def main(argv=None) -> int:
         pred["mu"], test_ds.arrays["labels"], pred["uncertainty"],
         aleatoric=pred["aleatoric"], epistemic=pred["epistemic"],
     )
+    # Ranking quality of the aleatoric component alone: on heteroscedastic
+    # data it is the informative rank key (epistemic dilutes the total).
+    ua_alea = UncertaintyAnalyzer().analyze(
+        pred["mu"], test_ds.arrays["labels"], pred["aleatoric"]
+    )
     report = ComprehensiveEvaluator().generate_report(
         pred["mu"], test_ds.arrays["labels"], pred["uncertainty"],
         model_name=f"CompleteDEERModel ({platform})",
@@ -124,6 +138,10 @@ def main(argv=None) -> int:
         "uncertainty": {
             "uncertainty_error_correlation": ua["uncertainty_error_correlation"],
             "ause": ua["ause"],
+            "aleatoric_error_correlation": ua_alea[
+                "uncertainty_error_correlation"
+            ],
+            "aleatoric_ause": ua_alea["ause"],
             "decomposition": ua.get("decomposition"),
         },
     }
@@ -150,9 +168,12 @@ def main(argv=None) -> int:
         f"| ECE (raw NIG uncertainty) | {ev.ece:.3f} |",
         f"| ECE (calibrated uncertainty) | {ece_calibrated:.3f} |",
         f"| ECE (+ post-hoc scale fit on val) | {ece_posthoc:.3f} |",
-        f"| uncertainty-error correlation | "
+        f"| uncertainty-error correlation (total) | "
         f"{ua['uncertainty_error_correlation']:.3f} |",
-        f"| AUSE | {ua['ause']:.4f} |",
+        f"| uncertainty-error correlation (aleatoric) | "
+        f"{ua_alea['uncertainty_error_correlation']:.3f} |",
+        f"| AUSE (total / aleatoric) | {ua['ause']:.4f} / "
+        f"{ua_alea['ause']:.4f} |",
         f"| CCC 95% CI (valence) | [{ev.confidence_intervals['valence'][0]:.3f},"
         f" {ev.confidence_intervals['valence'][1]:.3f}] |",
         "",
