@@ -125,6 +125,46 @@ class TestTraining:
             abs(losses[0.5] - losses[0.0] - 0.5 * moments[0.5]), 0.0, atol=2e-2
         )
 
+    def test_nonfinite_step_is_skipped(self):
+        """A poisoned batch (inf labels -> non-finite loss/grads) must leave
+        params AND optimizer state untouched; the next clean step must still
+        train normally."""
+        import jax
+        import jax.numpy as jnp
+
+        train, _ = _datasets()
+        trainer, _ = _trainer()
+
+        def grab(tree):
+            return jax.device_get(jax.tree_util.tree_leaves(tree))
+
+        def make_batch(poison):
+            b = next(iter(
+                BatchIterator(train["synthetic"], 64, shuffle=False).epoch(0)
+            ))
+            if poison:
+                b["labels"] = np.full_like(b["labels"], np.inf)
+            return trainer._put(b)
+
+        params_before = grab(trainer.state.params)
+        trainer.state, aux = trainer._train_step(
+            trainer.state, make_batch(True), jnp.asarray(1.0), jnp.asarray(1.0)
+        )
+        assert float(aux["nonfinite_skipped"]) == 1.0
+        params_after = grab(trainer.state.params)
+        for a, b in zip(params_before, params_after):
+            np.testing.assert_array_equal(a, b)
+
+        trainer.state, aux = trainer._train_step(
+            trainer.state, make_batch(False), jnp.asarray(1.0), jnp.asarray(1.0)
+        )
+        assert float(aux["nonfinite_skipped"]) == 0.0
+        assert np.isfinite(float(aux["loss"]))
+        params_clean = grab(trainer.state.params)
+        assert any(
+            not np.array_equal(a, b) for a, b in zip(params_after, params_clean)
+        )
+
     def test_validate_reports_all_metrics(self):
         train, val = _datasets()
         trainer, _ = _trainer(num_epochs=1)

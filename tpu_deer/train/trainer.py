@@ -84,6 +84,11 @@ class TrainingConfig:
     # ranking (diag batch 3: r(unc, true noise) = 0.89 without it), and the
     # deployable uncertainty scale comes from the calibration layer anyway.
     aleatoric_moment_weight: float = 0.0
+    # Skip the parameter/optimizer update on steps whose loss or gradient
+    # norm is non-finite (bf16 overflow, NIG log blowup, poisoned batch)
+    # instead of letting one step destroy training. Branch-free select, so
+    # no extra dispatch; aux reports the skipped fraction.
+    skip_nonfinite_updates: bool = True
     # Rematerialize the forward under grad (jax.checkpoint): trades FLOPs for
     # activation memory — irrelevant at 4M params, essential at scale.
     remat: bool = False
@@ -387,7 +392,26 @@ class DEERTrainer:
         # normalizes gradient magnitude, so loss scaling wouldn't change lr).
         updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
-        aux["grad_norm"] = optax.global_norm(grads)
+        grad_norm = optax.global_norm(grads)
+        aux["grad_norm"] = grad_norm
+        if self.config.skip_nonfinite_updates:
+            # Failure containment: one NaN/Inf gradient (bf16 overflow, log of
+            # a collapsed beta, poisoned batch) must not destroy training —
+            # keep the previous params AND optimizer state for that step.
+            # A global-norm finiteness check covers every leaf; select is
+            # branch-free so the step stays a single fused XLA program.
+            ok = jnp.isfinite(grad_norm) & jnp.isfinite(loss)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if isinstance(new, jax.Array) or hasattr(new, "dtype")
+                else new,
+                opt_state,
+                state.opt_state,
+            )
+            aux["nonfinite_skipped"] = 1.0 - ok.astype(jnp.float32)
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
