@@ -67,9 +67,13 @@ def main(argv=None) -> int:
         f"| CCC mean ± std | {results['ccc_mean']:.3f} ± {results['ccc_std']:.3f} |",
         f"| CCC 95% CI | [{results['ccc_ci'][0]:.3f}, {results['ccc_ci'][1]:.3f}] |",
         f"| MAE mean ± std | {results['mae_mean']:.3f} ± {results['mae_std']:.3f} |",
+        "| calibrated ECE mean | "
+        + f"{sum(f['ece'] for f in results['folds']) / len(results['folds']):.3f} |",
         "",
         "Per-fold CCC: "
         + ", ".join(f"{f['ccc_average']:.3f}" for f in results["folds"]),
+        "Per-fold ECE (calibrated on a held-out train slice): "
+        + ", ".join(f"{f['ece']:.3f}" for f in results["folds"]),
     ]
     with open(args.out + ".md", "w") as f:
         f.write("\n".join(md) + "\n")
