@@ -206,6 +206,12 @@ def main(argv=None) -> int:
     p.add_argument("--transfer_epochs", type=int, default=None)
     p.add_argument("--report", default="experiments/multi_dataset_report.json")
     p.add_argument("--quick", action="store_true")
+    # Demonstration-run overrides: the YAML default lr (1e-4) is tuned for
+    # long real-corpus runs and barely moves in a 15-epoch synthetic run.
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--n", type=int, default=None,
+                   help="synthetic-fallback samples per dataset")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -231,7 +237,7 @@ def main(argv=None) -> int:
         from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
 
         dims = dict(audio_dim=84, video_dim=256, text_dim=768)
-        n = 200 if args.quick else 1000
+        n = args.n or (200 if args.quick else 1000)
         datasets = {}
         for i, name in enumerate(("iemocap", "ravdess", "meld")):
             splits = make_synthetic_splits(
@@ -251,8 +257,8 @@ def main(argv=None) -> int:
         for k, v in config["datasets"].get("weights", {}).items()
     }
     train_cfg = TrainingConfig(
-        learning_rate=float(t["learning_rate"]),
-        batch_size=int(t["batch_size"]),
+        learning_rate=args.lr or float(t["learning_rate"]),
+        batch_size=args.batch_size or int(t["batch_size"]),
         num_epochs=args.epochs or (3 if args.quick else int(t["num_epochs"])),
         warmup_epochs=min(int(t.get("warmup_epochs", 5)), 1 if args.quick else 5),
         dataset_weights=weights or {n: 1.0 for n in datasets},
