@@ -10,7 +10,7 @@ This engine makes low-latency serving a first-class capability:
     aleatoric/epistemic decomposition.
 
 Measured on one TPU v5e chip (BENCH_r01): 0.10 ms p50 single-sample latency
-(vs the reference's claimed 47 ms), ~5-9M samples/s at batch 1024 (bench.py; tunnel-dependent).
+(vs the reference's claimed 47 ms), ~9-13M samples/s at batch 1024 (bench.py; tunnel-dependent).
 """
 
 from __future__ import annotations
