@@ -75,7 +75,11 @@ def main(argv=None) -> int:
         TrainingConfig(
             learning_rate=args.lr, batch_size=args.batch_size,
             num_epochs=args.epochs, warmup_epochs=2, scheduler="cosine",
-            early_stopping_patience=50, val_frequency=10,
+            # Early stopping deliberately disabled (patience counts
+            # VALIDATION events — there are epochs/val_frequency of them):
+            # the cosine schedule needs the full horizon; val CCC wobbles
+            # mid-schedule would otherwise cut it short.
+            early_stopping_patience=10**6, val_frequency=10,
             calibration_alignment_weight=args.calibration_weight,
             # one lax.scan dispatch per epoch — at 128 steps/epoch the
             # remote-dispatch latency otherwise dominates wall clock

@@ -27,11 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pearson(a, b):
-    import numpy as np
+    from tpu_deer.core.metrics import pearson_np
 
-    a = np.asarray(a, np.float64) - np.mean(a)
-    b = np.asarray(b, np.float64) - np.mean(b)
-    return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+    return pearson_np(a, b)
 
 
 def run_one(splits, model_config, args, epochs, evidence_w, kl_w, lr,

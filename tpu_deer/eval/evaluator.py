@@ -142,6 +142,7 @@ class DEERModelEvaluator:
         dataset: ArrayDataset,
         n_parameters: int = 0,
         calibration_dataset: Optional[ArrayDataset] = None,
+        calibration_scale: Optional[float] = None,
     ) -> EvaluationResults:
         """Evaluate a trained model on a dataset.
 
@@ -155,6 +156,10 @@ class DEERModelEvaluator:
         the fit. Raw-uncertainty ECE is kept in `ece_raw`, and the
         uncertainty-error correlation always uses raw uncertainty (ranking
         signal, scale-free).
+
+        Pass `calibration_scale` to reuse a scale already fit elsewhere
+        (e.g. once per source model across several transfer targets) and
+        skip the calibration-split predict entirely.
         """
         from tpu_deer.eval.calibration import fit_uncertainty_scale
 
@@ -162,7 +167,9 @@ class DEERModelEvaluator:
         labels = dataset.arrays["labels"]
         deployable = out.get("calibrated_uncertainty", out["uncertainty"])
         scale = 1.0
-        if calibration_dataset is not None:
+        if calibration_scale is not None:
+            scale = float(calibration_scale)
+        elif calibration_dataset is not None:
             cal_out = trainer.predict(calibration_dataset)
             cal_unc = cal_out.get(
                 "calibrated_uncertainty", cal_out["uncertainty"]

@@ -114,6 +114,11 @@ class UncertaintyCalibrationLayer(nn.Module):
         rescale uncertainty, never invert its ordering;
       * the input is stop-gradiented: calibration is post-hoc and must not
         push the evidence heads around through the alignment loss.
+
+    Checkpoint compatibility: this rewrite changed the parameter tree
+    (nn.Dense "cal1/kernel" -> flat "cal1_kernel", and "temperature" is now
+    the PRE-softplus value). Checkpoints saved before 2026-08-17 restore
+    with a tree-structure error rather than silently misbehaving.
     """
 
     num_dimensions: int = 3

@@ -128,18 +128,21 @@ class MultiDatasetFramework:
                 {src: d_src["train"]}, {src: d_src["val"]}, num_epochs=num_epochs
             )
             src_test = d_src.get("test") or d_src["val"]
-            src_ccc = evaluator.evaluate_model(
+            src_res = evaluator.evaluate_model(
                 trainer, src_test, calibration_dataset=d_src["val"]
-            ).ccc_average
+            )
+            src_ccc = src_res.ccc_average
             for tgt, d_tgt in self.datasets.items():
                 if tgt == src:
                     continue
                 tgt_test = d_tgt.get("test") or d_tgt["val"]
                 # Calibrate on the SOURCE validation split: in a transfer
                 # setting the target's labels are unseen, so the deployable
-                # uncertainty scale is the one fit on source data.
+                # uncertainty scale is the one fit on source data. Reuse the
+                # scale fit for the source eval — the per-target re-predict
+                # of the source val split would be pure tunnel latency.
                 tgt_res = evaluator.evaluate_model(
-                    trainer, tgt_test, calibration_dataset=d_src["val"]
+                    trainer, tgt_test, calibration_scale=src_res.posthoc_scale
                 )
                 eff = cross_dataset_transfer_effectiveness(
                     src_ccc, tgt_res.ccc_average
@@ -237,7 +240,7 @@ def main(argv=None) -> int:
         from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
 
         dims = dict(audio_dim=84, video_dim=256, text_dim=768)
-        n = args.n or (200 if args.quick else 1000)
+        n = args.n if args.n is not None else (200 if args.quick else 1000)
         datasets = {}
         for i, name in enumerate(("iemocap", "ravdess", "meld")):
             splits = make_synthetic_splits(
@@ -257,8 +260,14 @@ def main(argv=None) -> int:
         for k, v in config["datasets"].get("weights", {}).items()
     }
     train_cfg = TrainingConfig(
-        learning_rate=args.lr or float(t["learning_rate"]),
-        batch_size=args.batch_size or int(t["batch_size"]),
+        learning_rate=(
+            args.lr if args.lr is not None else float(t["learning_rate"])
+        ),
+        batch_size=(
+            args.batch_size
+            if args.batch_size is not None
+            else int(t["batch_size"])
+        ),
         num_epochs=args.epochs or (3 if args.quick else int(t["num_epochs"])),
         warmup_epochs=min(int(t.get("warmup_epochs", 5)), 1 if args.quick else 5),
         dataset_weights=weights or {n: 1.0 for n in datasets},

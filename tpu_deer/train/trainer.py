@@ -404,6 +404,14 @@ class DEERTrainer:
                 lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
             )
             aux["nonfinite_skipped"] = 1.0 - okf
+            # Gate the reported scalars too: one Inf loss would otherwise
+            # poison the epoch-mean train metrics (np.mean / lax.scan mean)
+            # for the whole epoch — the containment feature must not break
+            # the monitoring it protects. nonfinite_skipped carries the event.
+            aux = {
+                k: v if k == "nonfinite_skipped" else jnp.where(ok, v, 0.0)
+                for k, v in aux.items()
+            }
         else:
             okf = None
         updates, opt_state = self.optimizer.update(
