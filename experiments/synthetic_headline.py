@@ -23,14 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     # Defaults are the recipe from the uncertainty-ranking investigation
-    # (RESULTS_uncertainty_diag.md): 524k samples, dropout 0.05, 100 fused
-    # epochs — CCC 0.971, r(uncertainty, err) 0.77, AUSE 0.095 vs the data
-    # ceiling r 0.848 / AUSE 0.075.
+    # (RESULTS_uncertainty_diag.md): 1M samples, dropout 0.05, 100 fused
+    # epochs at lr 1.2e-3 with 5-epoch warmup (2e-3 diverges at this step
+    # count) — CCC 0.975, r(uncertainty, err) 0.80, AUSE 0.095 vs the data
+    # ceiling r 0.848 / AUSE 0.075; reference's claim is r = 0.785.
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--n_train", type=int, default=524288)
+    p.add_argument("--n_train", type=int, default=1048576)
     p.add_argument("--batch_size", type=int, default=4096)
-    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--lr", type=float, default=1.2e-3)
+    p.add_argument("--warmup_epochs", type=int, default=5)
     p.add_argument("--dropout", type=float, default=0.05)
     p.add_argument("--calibration_weight", type=float, default=0.15)
     p.add_argument("--out", default="experiments/RESULTS_synthetic")
@@ -74,7 +76,8 @@ def main(argv=None) -> int:
         model, params,
         TrainingConfig(
             learning_rate=args.lr, batch_size=args.batch_size,
-            num_epochs=args.epochs, warmup_epochs=2, scheduler="cosine",
+            num_epochs=args.epochs, warmup_epochs=args.warmup_epochs,
+            scheduler="cosine",
             # Early stopping deliberately disabled (patience counts
             # VALIDATION events — there are epochs/val_frequency of them):
             # the cosine schedule needs the full horizon; val CCC wobbles

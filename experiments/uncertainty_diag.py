@@ -33,7 +33,7 @@ def pearson(a, b):
 
 
 def run_one(splits, model_config, args, epochs, evidence_w, kl_w, lr,
-            moment_w=0.1):
+            moment_w=0.1, warmup=2):
     import numpy as np
 
     from tpu_deer.data.pipeline import ArrayDataset
@@ -50,7 +50,7 @@ def run_one(splits, model_config, args, epochs, evidence_w, kl_w, lr,
         model, params,
         TrainingConfig(
             learning_rate=lr, batch_size=args.batch_size,
-            num_epochs=epochs, warmup_epochs=2, scheduler="cosine",
+            num_epochs=epochs, warmup_epochs=warmup, scheduler="cosine",
             early_stopping_patience=1000, val_frequency=10,
             evidence_weight=evidence_w, kl_weight=kl_w,
             calibration_alignment_weight=0.05, loss_variant="v2",
@@ -128,16 +128,20 @@ def main(argv=None) -> int:
     #   batch 4 results: 262k/drop 0.05/100ep -> CCC 0.966, r 0.680 total /
     #     0.701 aleatoric, AUSE 0.109/0.106, r_noise 0.936. Dropout 0.0 is
     #     WORSE (r 0.49) — some regularization helps uncertainty learning.
-    #   batch 5: separate the data axis (524k) from the optimization axis
-    #     (150 epochs at 262k).
-    # (epochs, evidence_w, kl_w, lr, n_train, dropout, batch, moment_w)
+    #   batch 5 results: 524k/100ep -> r 0.769 / AUSE 0.095 (target met);
+    #     the 150-epoch probe at 262k diverged (pre NaN-guard) — the data
+    #     axis is the lever, not the epoch axis.
+    #   batch 6 result: 1M @ lr 2e-3 collapsed (CCC 0.42) — same finite-
+    #     divergence signature as the 150-epoch probe; 25.6k steps at peak
+    #     lr 2e-3 is unstable (NaN guard keeps it finite but not healthy).
+    #   batch 7: 1M retry at lr 1.2e-3 with 5-epoch warmup.
+    # (epochs, evidence_w, kl_w, lr, n_train, dropout, batch, moment_w, warmup)
     probes = [
-        (100, 1.0, 0.1, 2e-3, 32 * args.n_train, 0.05, 4096, 0.0),
-        (150, 1.0, 0.1, 2e-3, 16 * args.n_train, 0.05, 2048, 0.0),
+        (100, 1.0, 0.1, 1.2e-3, 64 * args.n_train, 0.05, 4096, 0.0, 5),
     ]
     results = []
     t0 = time.time()
-    for epochs, ew, kw, lr, n_train, dropout, batch, moment_w in probes:
+    for epochs, ew, kw, lr, n_train, dropout, batch, moment_w, warmup in probes:
         splits = make_synthetic_splits(
             SyntheticConfig(
                 n_train=n_train, n_val=max(2048, n_train // 16),
@@ -150,9 +154,9 @@ def main(argv=None) -> int:
         )
         args.batch_size = batch
         res = run_one(splits, model_config, args, epochs, ew, kw, lr,
-                      moment_w=moment_w)
+                      moment_w=moment_w, warmup=warmup)
         res.update(n_train=n_train, dropout=dropout, batch=batch,
-                   moment_w=moment_w)
+                   moment_w=moment_w, warmup=warmup)
         results.append(res)
         print(json.dumps(res, default=float), flush=True)
 

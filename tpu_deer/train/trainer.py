@@ -201,7 +201,9 @@ class DEERTrainer:
     # the flagship model+optimizer take < 100 MB, so several GB of staged
     # data is safe; the old 1 GB cap silently dropped 262k-sample synthetic
     # runs onto the per-step dispatch path (~50 ms/step via the tunnel).
-    STAGE_BYTES_LIMIT = 4_000_000_000
+    # 6 GB admits the 1M-sample benchmark (4.4 GB) with headroom for the
+    # activation working set at batch 4096.
+    STAGE_BYTES_LIMIT = 6_000_000_000
 
     # -- device-resident data ----------------------------------------------
     def _stage(self, dataset: ArrayDataset) -> Optional[dict]:
