@@ -50,10 +50,16 @@ def profile_training_speed(
     """End-to-end train-step throughput for a DEERTrainer (train.trainer).
 
     Reference behavior at training.py:554-605, measured on the jitted step.
-    With sync_per_step=False the loop dispatches all steps asynchronously and
-    blocks once at the end — the throughput a real training loop sees (per-step
-    host sync is an artifact of measurement, and through a remote-TPU tunnel
-    it dominates the step time).
+
+    Synchronization is a HOST FETCH of the step loss (jax.device_get), not
+    block_until_ready: through the remote-TPU tunnel block_until_ready
+    acknowledges locally without waiting for remote execution (measured: a
+    chained matmul loop "finished" at an impossible 52 PFLOP/s), so only a
+    value fetch provably covers the work. With sync_per_step=False all steps
+    are dispatched as one donated-state chain and ONE final loss is fetched —
+    the fetch forces the whole chain, and the tunnel round trip is amortized
+    over the steps (what a real training loop sees; our trainer fetches once
+    per epoch). sync_per_step=True pays the full round trip every step.
     """
     import jax.numpy as jnp
 
@@ -72,16 +78,16 @@ def profile_training_speed(
         new_state, aux = trainer._train_step(state, device_batch, w, s)
         return new_state, aux
 
-    # Warmup (compilation)
+    # Warmup (compilation) — device_get forces real completion
     state, aux = step(state)
-    jax.block_until_ready(aux["loss"])
+    jax.device_get(aux["loss"])
     bs = trainer.config.batch_size
     if sync_per_step:
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             state, aux = step(state)
-            jax.block_until_ready(aux["loss"])
+            jax.device_get(aux["loss"])
             times.append(time.perf_counter() - t0)
         trainer.state = state
         t = np.asarray(times)
@@ -94,7 +100,8 @@ def profile_training_speed(
     t0 = time.perf_counter()
     for _ in range(iters):
         state, aux = step(state)
-    jax.block_until_ready(aux["loss"])
+    # fetch, not block: forces execution of the whole donated-state chain
+    jax.device_get(aux["loss"])
     elapsed = time.perf_counter() - t0
     trainer.state = state
     return {
