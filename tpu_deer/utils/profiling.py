@@ -1,8 +1,9 @@
 """Profiling: step timing, FLOPs accounting, device traces.
 
 Parity with reference TrainingUtils (training.py:538-605), made real:
-  * profile_training_speed — warmup + timed fwd/bwd steps with
-    block_until_ready (the TPU analogue of torch.cuda.synchronize).
+  * profile_training_speed — warmup + timed fwd/bwd steps, synced by a
+    host VALUE FETCH (the TPU analogue of torch.cuda.synchronize; see its
+    docstring for why block_until_ready is not enough here).
   * calculate_model_flops — the reference returns 0 (training.py:547-552);
     here the jitted computation's XLA cost analysis gives the real count.
   * trace() — context manager wrapping jax.profiler.trace for on-device
@@ -19,19 +20,39 @@ import jax
 import numpy as np
 
 
+def _sync(out):
+    """Force completion of `out` with a host fetch of one leaf.
+
+    Through the remote-TPU tunnel, jax.block_until_ready acknowledges
+    locally without waiting for remote execution (measured in bench.py's
+    calibration); fetching a value is the only event that provably covers
+    the work. On local backends this is equivalent to block_until_ready
+    plus a tiny transfer.
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        jax.device_get(leaves[0].ravel()[:1] if hasattr(leaves[0], "ravel")
+                       else leaves[0])
+
+
 def profile_step(
     fn: Callable, *args, iters: int = 100, warmup: int = 10
 ) -> dict[str, float]:
-    """Time a jitted function; returns wall-clock stats in milliseconds."""
+    """Time a jitted function; returns wall-clock stats in milliseconds.
+
+    Note: the timing includes one host round trip per iteration (see
+    _sync) — amortize by batching work per dispatch when profiling through
+    a remote tunnel.
+    """
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) * 1e3)
     t = np.asarray(times)
     return {
