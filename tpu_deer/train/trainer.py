@@ -300,6 +300,15 @@ class DEERTrainer:
     def _build_optimizer(self, params) -> optax.GradientTransformation:
         cfg = self.config
 
+        # Per-group adamw via optax.multi_transform (reference: 0.5x-lr
+        # encoders, frozen BERT layers). Measured note: standalone, this
+        # optimizer costs 3.6 ms/step at 4M params (kernel launch per small
+        # leaf) and optax.flatten cuts it to 0.6 ms — but INSIDE the fused
+        # train step the per-leaf ops fuse with their backward producers
+        # (effectively free), while flatten's concat/split adds ~4 ms of
+        # unfusable HBM copies (full step 6.6 ms multi_transform vs 10.7 ms
+        # flattened, alternating A/B). Keep multi_transform; don't trust
+        # standalone optimizer microbenchmarks.
         def adamw(scale: float):
             return optax.adamw(
                 lambda step: self.schedule(step) * scale,
