@@ -265,6 +265,78 @@ class TestSchedulers:
         assert trainer._plateau_scale < 1.0
 
 
+class TestSpikeBackoff:
+    """Auto lr backoff on finite loss collapse (TrainingConfig.spike_backoff)."""
+
+    def test_spike_halves_scale(self):
+        trainer, cfg = _trainer()
+        for loss in [5.0, 4.0, 3.5, 3.2, 3.0, 2.9]:
+            assert not trainer._spike_update(loss)
+        assert trainer._spike_scale == 1.0
+        assert trainer._spike_update(50.0)  # finite collapse
+        assert trainer._spike_scale == pytest.approx(cfg.spike_backoff_factor)
+        # The spiked loss must not enter the baseline window.
+        assert 50.0 not in trainer._spike_history
+
+    def test_nonfinite_loss_is_a_spike(self):
+        trainer, cfg = _trainer()
+        for loss in [5.0, 4.0, 3.5]:
+            trainer._spike_update(loss)
+        assert trainer._spike_update(float("nan"))
+        assert trainer._spike_update(float("inf"))
+        assert trainer._spike_scale == pytest.approx(
+            cfg.spike_backoff_factor**2
+        )
+
+    def test_clean_epochs_recover_scale(self):
+        trainer, cfg = _trainer()
+        for loss in [5.0, 4.0, 3.5, 3.2]:
+            trainer._spike_update(loss)
+        trainer._spike_update(1e6)
+        assert trainer._spike_scale < 1.0
+        for _ in range(10):
+            trainer._spike_update(3.0)
+        assert trainer._spike_scale == 1.0
+
+    def test_negative_losses_supported(self):
+        """The DEER NLL can go negative; median+MAD must not misfire there."""
+        trainer, _ = _trainer()
+        for loss in [-1.0, -1.2, -1.3, -1.35, -1.4]:
+            assert not trainer._spike_update(loss)
+        assert trainer._spike_scale == 1.0
+        assert trainer._spike_update(2.0)  # jump out of the negative basin
+
+    def test_disabled_by_config(self):
+        trainer, _ = _trainer(spike_backoff=False)
+        for loss in [5.0, 4.0, 3.5, 3.2]:
+            trainer._spike_update(loss)
+        assert not trainer._spike_update(float("inf"))
+        assert trainer._spike_scale == 1.0
+
+    def test_backoff_scale_reaches_the_step(self):
+        """train_epoch must fold the spike scale into the jitted step's
+        lr_scale operand (zero scale => params frozen)."""
+        import jax
+
+        train, _ = _datasets()
+        trainer, cfg = _trainer(num_epochs=1)
+        from tpu_deer.data.pipeline import BatchIterator
+
+        iters = {
+            "synthetic": BatchIterator(
+                train["synthetic"], cfg.batch_size, shuffle=True, seed=0
+            )
+        }
+        trainer._spike_scale = 0.0  # fully backed off
+        before = jax.device_get(trainer.state.params)
+        trainer.train_epoch(iters, 0)
+        after = jax.device_get(trainer.state.params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        ):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestBF16:
     def test_bf16_compute_trains(self):
         """bfloat16 dense path + float32 NIG math must train stably."""

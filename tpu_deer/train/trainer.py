@@ -89,6 +89,22 @@ class TrainingConfig:
     # instead of letting one step destroy training. Branch-free select, so
     # no extra dispatch; aux reports the skipped fraction.
     skip_nonfinite_updates: bool = True
+    # Automatic lr backoff on loss spikes. The NIG loss can collapse while
+    # staying FINITE (measured: lr 2e-3 on the 1M-sample headline recipe
+    # diverges at ~25.6k steps with finite-but-exploding loss, which the
+    # non-finite gate can't catch). After each epoch the train loss is
+    # compared to the median of the last `spike_window` clean epochs; a
+    # deviation beyond `spike_threshold` robust sigmas (MAD-based, with a
+    # floor — the DEER loss can be negative, so a ratio test would be
+    # wrong) multiplies the lr scale by `spike_backoff_factor`. Clean
+    # epochs recover the scale by `spike_recovery` up to 1.0. Host-side
+    # only — no extra device work; composes with the plateau scheduler
+    # through the same lr_scale operand the jitted step already takes.
+    spike_backoff: bool = True
+    spike_threshold: float = 6.0
+    spike_backoff_factor: float = 0.5
+    spike_window: int = 8
+    spike_recovery: float = 1.2
     # PRNG implementation for dropout bits. "rbg" uses the TPU's
     # hardware-backed generator; threefry2x32 is ALU-heavy and, measured at
     # batch 16384, costs ~3 ms in the forward AND is rematerialized in the
@@ -204,6 +220,9 @@ class DEERTrainer:
         self._plateau_scale = 1.0
         self._plateau_best = -np.inf
         self._plateau_wait = 0
+        # loss-spike backoff host state
+        self._spike_scale = 1.0
+        self._spike_history: list[float] = []
 
     # Device-staging budget for training data. A v5e chip has 16 GB HBM and
     # the flagship model+optimizer take < 100 MB, so several GB of staged
@@ -561,7 +580,9 @@ class DEERTrainer:
 
     # -- epochs ------------------------------------------------------------
     def train_epoch(self, train_iterators: dict, epoch: int) -> dict[str, float]:
-        lr_scale = jnp.asarray(self._plateau_scale, dtype=jnp.float32)
+        lr_scale = jnp.asarray(
+            self._plateau_scale * self._spike_scale, dtype=jnp.float32
+        )
 
         # Fused path: whole epoch in one lax.scan dispatch (opt-in).
         fused = bool(self.config.fused_epochs)
@@ -683,11 +704,18 @@ class DEERTrainer:
         for epoch in range(start_epoch, num_epochs):
             train_metrics = self.train_epoch(train_iters, epoch)
             self.history["train_loss"].append(train_metrics.get("loss", float("nan")))
-            lr = float(self.schedule(int(self.state.step))) * self._plateau_scale
+            spiked = self._spike_update(train_metrics.get("loss"))
+            lr = (
+                float(self.schedule(int(self.state.step)))
+                * self._plateau_scale
+                * self._spike_scale
+            )
             self.history["learning_rate"].append(lr)
             if logger:
                 logger.scalars(train_metrics, epoch, prefix="train/")
                 logger.scalar("train/lr", lr, epoch)
+                if spiked:
+                    logger.scalar("train/lr_spike_backoff", self._spike_scale, epoch)
 
             if (epoch + 1) % cfg.val_frequency == 0:
                 val = self.validate_epoch(val_iters)
@@ -727,6 +755,40 @@ class DEERTrainer:
             "training_time_s": time.time() - t0,
             "final_step": int(self.state.step),
         }
+
+    def _spike_update(self, loss: Optional[float]) -> bool:
+        """Per-epoch loss-spike detector (see TrainingConfig.spike_backoff).
+
+        Returns True when this epoch's train loss is a spike. Robust to the
+        DEER loss being negative: the test is median + k·MAD over the last
+        clean epochs, never a ratio. Spiked (or non-finite) losses are NOT
+        appended to the history, so a divergence can't drag the baseline up
+        and mask itself.
+        """
+        cfg = self.config
+        if not cfg.spike_backoff or loss is None:
+            return False
+        hist = self._spike_history
+        spiked = False
+        if not np.isfinite(loss):
+            spiked = True
+        elif len(hist) >= 3:
+            med = float(np.median(hist))
+            mad = float(np.median(np.abs(np.asarray(hist) - med)))
+            # Floor the deviation scale: early windows of a fast-decaying
+            # loss have large MAD (lenient, fine); a converged flat window
+            # has MAD ~ 0 and would flag noise without the floor.
+            sigma = max(1.4826 * mad, 0.05 * abs(med), 1e-3)
+            spiked = loss > med + cfg.spike_threshold * sigma
+        if spiked:
+            self._spike_scale = max(
+                self._spike_scale * cfg.spike_backoff_factor, 1e-3
+            )
+        else:
+            hist.append(float(loss))
+            del hist[: -cfg.spike_window]
+            self._spike_scale = min(self._spike_scale * cfg.spike_recovery, 1.0)
+        return spiked
 
     def _plateau_update(self, metric: float):
         if self.config.scheduler != "plateau":
