@@ -110,6 +110,32 @@ class TestProfiling:
         )
         stats = profile_training_speed(trainer, ds, iters=3)
         assert stats["samples_per_sec"] > 0
+        # Amortized chain mode: all steps dispatched, one forcing fetch at
+        # the end — the mode bench.py uses through the remote tunnel.
+        chain = profile_training_speed(trainer, ds, iters=3, sync_per_step=False)
+        assert chain["samples_per_sec"] > 0
+        # Both modes advanced the trainer state (warmup + iters steps each).
+        assert int(trainer.state.step) == 2 * (3 + 1)
+
+    def test_sync_forces_host_fetch(self):
+        """_sync must complete pending device work via a value fetch (the
+        only completion event the remote tunnel honors)."""
+        from tpu_deer.utils.profiling import _sync
+
+        out = jax.jit(lambda x: x * 2)(jnp.arange(8.0))
+        _sync(out)  # must not raise; covers array leaves
+        _sync({"a": out, "b": out})  # pytree input
+        _sync([])  # empty tree is a no-op
+
+    def test_peak_flops_env_override(self, monkeypatch):
+        from tpu_deer.utils.profiling import peak_flops_per_chip
+
+        monkeypatch.setenv("TPU_DEER_PEAK_TFLOPS", "123")
+        assert peak_flops_per_chip() == 123e12
+        monkeypatch.delenv("TPU_DEER_PEAK_TFLOPS")
+        # CPU devices have no published peak — must return None, not guess.
+        if jax.devices()[0].platform != "tpu":
+            assert peak_flops_per_chip() is None
 
 
 class TestComprehensiveEvaluator:
