@@ -7,6 +7,7 @@ from tpu_deer.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     param_sharding_rules,
+    fsdp_sharding_rules,
     shard_params,
     shard_batch,
 )

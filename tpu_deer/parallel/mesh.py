@@ -82,11 +82,49 @@ def param_sharding_rules(path: tuple, leaf) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh):
-    """Place a parameter pytree on the mesh per `param_sharding_rules`."""
+def fsdp_sharding_rules(path: tuple, leaf, data_size: int) -> P:
+    """Fully-sharded (ZeRO-style) layout: shard the largest eligible axis of
+    every >=2-D parameter over 'data', composed with the TP rules over
+    'model'. Optimizer state inherits the layout (optax init follows input
+    shardings), so params + Adam moments are all partitioned — per-device
+    memory for the model state drops ~1/N while XLA inserts the all-gathers
+    at use sites and reduce-scatters for the gradients (the scaling-book
+    FSDP recipe; no hand-written collectives).
+
+    Axes whose size is not divisible by the data-axis extent stay unsharded
+    (uneven partitions would force padded collectives); 1-D leaves (biases,
+    norms) stay replicated — they are a rounding error of the memory.
+    """
+    tp = param_sharding_rules(path, leaf)
+    if leaf.ndim < 2 or data_size <= 1:
+        return tp
+    spec = list(tp) if len(tp) == leaf.ndim else [None] * leaf.ndim
+    candidates = [
+        i
+        for i in range(leaf.ndim)
+        if spec[i] is None and leaf.shape[i] % data_size == 0
+    ]
+    if candidates:
+        spec[max(candidates, key=lambda i: leaf.shape[i])] = "data"
+    return P(*spec)
+
+
+def shard_params(params, mesh: Mesh, mode: str = "tp"):
+    """Place a parameter pytree on the mesh.
+
+    mode: 'tp' (default — TP kernels over 'model', rest replicated),
+    'fsdp' (every large param sharded over 'data', composed with TP),
+    'replicated' (everything everywhere).
+    """
+    data_size = mesh.shape.get("data", 1)
 
     def place(path, leaf):
-        spec = param_sharding_rules(path, leaf)
+        if mode == "fsdp":
+            spec = fsdp_sharding_rules(path, leaf, data_size)
+        elif mode == "replicated":
+            spec = P()
+        else:
+            spec = param_sharding_rules(path, leaf)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -116,6 +116,16 @@ class TrainingConfig:
     # Rematerialize the forward under grad (jax.checkpoint): trades FLOPs for
     # activation memory — irrelevant at 4M params, essential at scale.
     remat: bool = False
+    # Parameter layout under a mesh: 'tp' (fusion kernels over 'model'),
+    # 'fsdp' (ZeRO-style — every large param + its Adam moments sharded over
+    # 'data'; XLA inserts the gathers), or 'replicated'. See
+    # parallel/mesh.py:fsdp_sharding_rules.
+    param_sharding: str = "tp"
+    # Accumulate gradients over N micro-steps before applying one optimizer
+    # update (optax.MultiSteps, gradient MEAN) — trains with an effective
+    # batch N× larger than fits per step. Schedules count UPDATES, not
+    # micro-steps (total_steps is divided accordingly).
+    grad_accum_steps: int = 1
     # Fuse a whole epoch into one lax.scan dispatch (needs device-resident
     # data). Opt-in: pays off only when an epoch has MANY small steps and
     # dispatch latency dominates — measured on this setup, the scan's one-off
@@ -167,7 +177,13 @@ class DEERTrainer:
         # per-process pieces instead of device_put (which is single-process).
         self.runtime = runtime
         self.steps_per_epoch = max(1, steps_per_epoch)
-        self.total_steps = self.steps_per_epoch * config.num_epochs
+        # Schedules are stepped by optimizer UPDATES: with gradient
+        # accumulation the inner adamw only advances every k-th micro-step,
+        # so the decay/warmup horizons are measured in updates.
+        accum = max(1, config.grad_accum_steps)
+        updates_per_epoch = max(1, self.steps_per_epoch // accum)
+        self.total_steps = updates_per_epoch * config.num_epochs
+        self._updates_per_epoch = updates_per_epoch
 
         self.schedule = self._build_schedule()
         self.optimizer = self._build_optimizer(params)
@@ -184,7 +200,7 @@ class DEERTrainer:
             else:
                 from tpu_deer.parallel.mesh import shard_params
 
-                params = shard_params(params, mesh)
+                params = shard_params(params, mesh, mode=config.param_sharding)
 
         self.state = TrainState(
             params=params,
@@ -298,7 +314,9 @@ class DEERTrainer:
     # -- optimizer ---------------------------------------------------------
     def _build_schedule(self) -> Callable[[int], float]:
         cfg = self.config
-        warmup = min(cfg.warmup_epochs * self.steps_per_epoch, self.total_steps // 2)
+        warmup = min(
+            cfg.warmup_epochs * self._updates_per_epoch, self.total_steps // 2
+        )
         if cfg.scheduler == "cosine":
             return optax.warmup_cosine_decay_schedule(
                 init_value=0.0,
@@ -310,7 +328,7 @@ class DEERTrainer:
         if cfg.scheduler == "exponential":
             return optax.exponential_decay(
                 init_value=cfg.learning_rate,
-                transition_steps=self.steps_per_epoch,
+                transition_steps=self._updates_per_epoch,
                 decay_rate=0.95,
             )
         # plateau and constant: flat base schedule (plateau scales on host).
@@ -342,7 +360,14 @@ class DEERTrainer:
             },
             _encoder_label_fn(params, tuple(cfg.frozen_prefixes)),
         )
-        return optax.chain(optax.clip_by_global_norm(cfg.gradient_clip), tx)
+        tx = optax.chain(optax.clip_by_global_norm(cfg.gradient_clip), tx)
+        if cfg.grad_accum_steps > 1:
+            # Gradient MEAN over k micro-steps, one real update on the k-th
+            # (clip applies to the averaged gradient, matching a single
+            # k×-batch step). Note: a non-finite micro-step contributes a
+            # zeroed gradient to the mean (see skip_nonfinite_updates).
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+        return tx
 
     def _wrap_dropout_rng(self, rng):
         """Reinterpret the raw uint32 key under the configured PRNG impl.
