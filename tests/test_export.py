@@ -1,0 +1,75 @@
+"""AOT export tests: serialize -> deserialize -> numerical identity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpu_deer.export import export_inference, load_exported
+from tpu_deer.models.deer_model import DEERModelConfig, create_complete_deer_model
+
+SMALL = DEERModelConfig(
+    audio_dim=16, video_dim=16, text_dim=16, encoder_dim=32, fusion_dim=64,
+    attention_heads=4, encoder_layers=1, dropout=0.1,
+)
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    model, params = create_complete_deer_model(SMALL, seed=0)
+    out = str(tmp_path_factory.mktemp("export"))
+    manifest = export_inference(
+        model, params, out, batch_buckets=(1, 4, 8)
+    )
+    return out, model, params, manifest
+
+
+class TestExport:
+    def test_manifest_and_files(self, artifact_dir):
+        out, _, _, manifest = artifact_dir
+        assert manifest["format"] == "tpu_deer.export.v1"
+        assert manifest["buckets"] == [1, 4, 8]
+        assert os.path.exists(os.path.join(out, "manifest.json"))
+        assert os.path.exists(os.path.join(out, "params.npz"))
+        for name in manifest["artifacts"].values():
+            assert os.path.getsize(os.path.join(out, name)) > 0
+        # No pickle anywhere in the artifact.
+        with open(os.path.join(out, "manifest.json")) as f:
+            json.load(f)
+
+    def test_roundtrip_matches_live_forward(self, artifact_dir):
+        out, model, params, _ = artifact_dir
+        engine = load_exported(out)
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((4, 16)).astype(np.float32)
+        got = engine.predict(a, a, a)
+        ref = model.apply({"params": params}, a, a, a, deterministic=True)
+        np.testing.assert_allclose(
+            got["mu"], np.asarray(ref["mu_all"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            got["calibrated_uncertainty"],
+            np.asarray(ref["calibrated_uncertainty"]), atol=1e-6,
+        )
+
+    def test_padding_and_chunking(self, artifact_dir):
+        out, model, params, _ = artifact_dir
+        engine = load_exported(out)
+        rng = np.random.default_rng(1)
+        # 3 pads up to bucket 4; 19 chunks over the max bucket 8.
+        for n in (3, 19):
+            a = rng.standard_normal((n, 16)).astype(np.float32)
+            got = engine.predict(a, a, a)
+            assert got["mu"].shape == (n, 3)
+            ref = model.apply({"params": params}, a, a, a, deterministic=True)
+            np.testing.assert_allclose(
+                got["mu"], np.asarray(ref["mu_all"]), atol=1e-5
+            )
+
+    def test_bad_format_rejected(self, tmp_path):
+        d = tmp_path / "bogus"
+        d.mkdir()
+        (d / "manifest.json").write_text(json.dumps({"format": "other"}))
+        with pytest.raises(ValueError, match="unrecognized export format"):
+            load_exported(str(d))

@@ -10,6 +10,7 @@ Usage:
     python -m tpu_deer.cli --mode full --quick
     python -m tpu_deer.cli --mode train --config configs/config.yaml
     python -m tpu_deer.cli --mode evaluate --model_path <ckpt_dir>
+    python -m tpu_deer.cli --mode export --output_dir <dir>   # AOT serving artifact
 """
 
 from __future__ import annotations
@@ -492,7 +493,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--mode",
-        choices=["full", "train", "evaluate", "visualize", "test"],
+        choices=["full", "train", "evaluate", "visualize", "test", "export"],
         default="full",
     )
     p.add_argument("--config", type=str, default=None)
@@ -577,6 +578,31 @@ def main(argv=None) -> int:
             pipeline.load_checkpoint(args.model_path)
         plots = pipeline.run_visualization()
         print(json.dumps(plots, indent=2))
+    elif args.mode == "export":
+        # AOT serving artifact (tpu_deer/export.py): serialized StableHLO
+        # per batch bucket + npz params + manifest — no reference
+        # equivalent (its deployment story is "import torch and the repo").
+        pipeline.create_model()
+        params = pipeline.params
+        if args.model_path:
+            from tpu_deer.train.checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(args.model_path)
+            step = (
+                "best"
+                if os.path.isdir(os.path.join(args.model_path, "best"))
+                else None
+            )
+            params = ckpt.restore_params(params, step=step)
+        from tpu_deer.export import export_inference
+
+        out_dir = os.path.join(args.output_dir, "exported_model")
+        manifest = export_inference(pipeline.model, params, out_dir)
+        print(json.dumps(
+            {"export_dir": out_dir,
+             **{k: manifest[k] for k in ("buckets", "platforms", "n_params")}},
+            indent=2,
+        ))
     return 0
 
 

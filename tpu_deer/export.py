@@ -1,0 +1,190 @@
+"""Ahead-of-time model export: serialized StableHLO serving artifacts.
+
+The reference has no deployment story at all (inference is "call the torch
+module from Python", run_multimodal_deer.py:695-734). Here the flagship
+model exports to a self-contained artifact directory:
+
+  * one serialized `jax.export` executable per serving batch bucket —
+    StableHLO with shape/dtype calling conventions baked in, loadable and
+    runnable WITHOUT the model's Python code (only jax + the artifact);
+  * params saved as a flat .npz (no pickle — same policy as data/cache.py);
+  * a JSON manifest with the model config, buckets, and target platforms.
+
+Multi-platform lowering (`platforms=("cpu", "tpu")`) produces one artifact
+that runs on dev CPUs and serving TPUs alike. `load_exported` returns an
+engine with the same bucketed-padding `predict` contract as
+serve.InferenceEngine, so callers can swap between live-jit and AOT paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from tpu_deer.models.deer_model import CompleteDEERModel, DEERModelConfig
+
+MANIFEST = "manifest.json"
+PARAMS_FILE = "params.npz"
+
+# Outputs of the exported forward, in calling-convention order (the
+# serialized executable returns a tuple; names are restored from here).
+OUTPUT_NAMES = ("mu", "uncertainty", "calibrated_uncertainty")
+
+
+def _flatten_params(params) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(getattr(k, "key", str(k)) for k in path)
+        flat[key] = np.asarray(jax.device_get(leaf))
+    return flat
+
+
+def _unflatten_params(flat: dict[str, np.ndarray]):
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def export_inference(
+    model: CompleteDEERModel,
+    params,
+    output_dir: str,
+    batch_buckets: Sequence[int] = (1, 8, 64, 256),
+    platforms: Optional[Sequence[str]] = None,
+) -> dict:
+    """Export the deterministic forward for each batch bucket.
+
+    Returns the manifest dict. `platforms=None` lowers for the current
+    backend only; pass e.g. ("cpu", "tpu") for a portable artifact.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    cfg = model.config
+
+    def forward(params, audio, video, text):
+        out = model.apply(
+            {"params": params}, audio, video, text, deterministic=True
+        )
+        return tuple(
+            out[k]
+            for k in ("mu_all", "uncertainty_all", "calibrated_uncertainty")
+        )
+
+    jitted = jax.jit(forward)
+    exporter = jax_export.export(
+        jitted, platforms=list(platforms) if platforms else None
+    )
+
+    flat = _flatten_params(params)
+    param_tree = _unflatten_params(flat)  # host-numpy tree, abstractable
+    artifacts = {}
+    for b in sorted(batch_buckets):
+        args = (
+            param_tree,
+            jnp.zeros((b, cfg.audio_dim), jnp.float32),
+            jnp.zeros((b, cfg.video_dim), jnp.float32),
+            jnp.zeros((b, cfg.text_dim), jnp.float32),
+        )
+        exported = exporter(*jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
+            args,
+        ))
+        name = f"forward_b{b}.hlo"
+        with open(os.path.join(output_dir, name), "wb") as f:
+            f.write(exported.serialize())
+        artifacts[str(b)] = name
+
+    np.savez(os.path.join(output_dir, PARAMS_FILE), **flat)
+    manifest = {
+        "format": "tpu_deer.export.v1",
+        "model": "CompleteDEERModel",
+        "config": {
+            "audio_dim": cfg.audio_dim,
+            "video_dim": cfg.video_dim,
+            "text_dim": cfg.text_dim,
+        },
+        "outputs": list(OUTPUT_NAMES),
+        "buckets": sorted(int(b) for b in batch_buckets),
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "artifacts": artifacts,
+        "n_params": int(sum(v.size for v in flat.values())),
+    }
+    with open(os.path.join(output_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ExportedEngine:
+    """Serving engine over a deserialized AOT artifact (no model code).
+
+    Same predict contract as serve.InferenceEngine: bucketed padding,
+    chunking past the largest bucket, numpy in/out.
+    """
+
+    def __init__(self, output_dir: str):
+        with open(os.path.join(output_dir, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest.get("format") != "tpu_deer.export.v1":
+            raise ValueError(
+                f"unrecognized export format in {output_dir}: "
+                f"{self.manifest.get('format')!r}"
+            )
+        flat = dict(np.load(os.path.join(output_dir, PARAMS_FILE)))
+        self.params = _unflatten_params(flat)
+        self.buckets = self.manifest["buckets"]
+        self._fns = {}
+        for b, name in self.manifest["artifacts"].items():
+            with open(os.path.join(output_dir, name), "rb") as f:
+                self._fns[int(b)] = jax_export.deserialize(f.read())
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def predict(
+        self, audio: np.ndarray, video: np.ndarray, text: np.ndarray
+    ) -> dict[str, np.ndarray]:
+        n = len(audio)
+        max_b = self.buckets[-1]
+        if n > max_b:
+            parts = [
+                self.predict(
+                    audio[i : i + max_b], video[i : i + max_b],
+                    text[i : i + max_b],
+                )
+                for i in range(0, n, max_b)
+            ]
+            return {
+                k: np.concatenate([p[k] for p in parts]) for k in parts[0]
+            }
+        b = self._bucket(n)
+        pad = b - n
+        if pad:
+            padz = lambda x: np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)]
+            )
+            audio, video, text = padz(audio), padz(video), padz(text)
+        out = self._fns[b].call(
+            self.params,
+            jnp.asarray(audio, jnp.float32),
+            jnp.asarray(video, jnp.float32),
+            jnp.asarray(text, jnp.float32),
+        )
+        names = self.manifest["outputs"]
+        return {k: np.asarray(v)[:n] for k, v in zip(names, out)}
+
+
+def load_exported(output_dir: str) -> ExportedEngine:
+    return ExportedEngine(output_dir)
