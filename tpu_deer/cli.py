@@ -183,6 +183,9 @@ class MultimodalDEERPipeline:
             evidence_weight=float(t.get("evidence_weight", 1.0)),
             kl_weight=float(t.get("kl_weight", 0.1)),
             aleatoric_moment_weight=float(t.get("aleatoric_moment_weight", 0.0)),
+            grad_accum_steps=int(t.get("grad_accum_steps", 1)),
+            param_sharding=t.get("param_sharding", "tp"),
+            spike_backoff=bool(t.get("spike_backoff", True)),
             seed=self.seed,
         )
         steps = sum(

@@ -50,6 +50,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "val_frequency": 1,
         "save_frequency": 10,
         "curriculum_learning": True,
+        "grad_accum_steps": 1,
+        "param_sharding": "tp",  # tp | fsdp | replicated (mesh layout)
+        "spike_backoff": True,
         "seed": 42,
     },
     "hardware": {
