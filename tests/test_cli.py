@@ -87,6 +87,32 @@ class TestCLIMain:
     def test_main_mode_test_exit_code(self):
         assert main(["--mode", "test"]) == 0
 
+    def test_mode_export_produces_loadable_artifact(self, tmp_path):
+        """--mode export writes an AOT artifact that predicts (small config
+        via a YAML override so the test stays fast)."""
+        import numpy as np
+        import yaml
+
+        from tpu_deer.export import load_exported
+        from tpu_deer.utils.config import default_config
+
+        cfg = default_config()
+        cfg["model"].update(
+            audio_dim=16, video_dim=16, text_dim=16, encoder_dim=32,
+            fusion_dim=64, attention_heads=4, encoder_layers=1,
+        )
+        cfg_path = str(tmp_path / "small.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        out = str(tmp_path / "exp")
+        assert main(["--mode", "export", "--config", cfg_path,
+                     "--output_dir", out]) == 0
+        engine = load_exported(os.path.join(out, "exported_model"))
+        a = np.zeros((2, 16), np.float32)
+        got = engine.predict(a, a, a)
+        assert got["mu"].shape == (2, 3)
+        assert np.all(np.isfinite(got["calibrated_uncertainty"]))
+
 
 class TestConfig:
     def test_yaml_roundtrip(self, tmp_path):
