@@ -21,6 +21,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _render_figures(pred, labels, history, figures_dir, title_suffix=""):
+    """L4 demonstration artifacts from a run's predictions: the full static
+    plot set, the combined summary figure, and the self-contained
+    interactive HTML dashboard.
+
+    The main `uncertainties` fed to the reliability/scatter plots is the
+    DEPLOYABLE calibrated uncertainty (what a user would threshold on —
+    headline calibrated ECE 0.019), not raw NIG total uncertainty whose
+    unbounded scale makes every reliability diagram look broken (the same
+    raw-vs-calibrated distinction the ablation table needed). The
+    decomposition plot keeps the raw aleatoric/epistemic components.
+    """
+    from tpu_deer.viz.html_report import create_interactive_report
+    from tpu_deer.viz.report import (
+        create_comprehensive_report,
+        plot_summary_figure,
+    )
+
+    deployable = pred["calibrated_uncertainty"]
+    paths = create_comprehensive_report(
+        pred["mu"], labels, deployable,
+        history=history, aleatoric=pred["aleatoric"],
+        epistemic=pred["epistemic"], output_dir=figures_dir,
+    )
+    paths["summary"] = plot_summary_figure(
+        pred["mu"], labels, deployable, history=history,
+        save_path=os.path.join(figures_dir, "summary.png"),
+    )
+    paths["interactive"] = create_interactive_report(
+        pred["mu"], labels, deployable, history=history,
+        output_path=os.path.join(figures_dir, "interactive_report.html"),
+        title=f"Multimodal DEER — headline run {title_suffix}",
+    )
+    print("figures:", ", ".join(sorted(paths)))
+    return paths
+
+
 def main(argv=None) -> int:
     # Defaults are the recipe from the uncertainty-ranking investigation
     # (RESULTS_uncertainty_diag.md): 1M samples, dropout 0.05, 100 fused
@@ -36,7 +73,35 @@ def main(argv=None) -> int:
     p.add_argument("--dropout", type=float, default=0.05)
     p.add_argument("--calibration_weight", type=float, default=0.15)
     p.add_argument("--out", default="experiments/RESULTS_synthetic")
+    p.add_argument(
+        "--figures", default=None, metavar="DIR",
+        help="also render the full visualization report (static plots, "
+        "combined summary figure, interactive HTML dashboard) into DIR",
+    )
+    p.add_argument(
+        "--figures_from", default=None, metavar="NPZ",
+        help="skip training: render --figures from a saved predictions npz "
+        "(written by a previous run as <out>_predictions.npz)",
+    )
     args = p.parse_args(argv)
+
+    if args.figures_from:
+        import numpy as np
+
+        saved = np.load(args.figures_from)
+        _render_figures(
+            {k: saved[k] for k in saved.files if k != "labels"},
+            saved["labels"],
+            {
+                "train_loss": list(saved["history_train_loss"]),
+                "val_ccc": list(saved["history_val_ccc"]),
+            }
+            if "history_train_loss" in saved.files
+            else None,
+            args.figures or "experiments/figures_headline",
+            title_suffix="(from saved predictions)",
+        )
+        return 0
 
     import jax
     import numpy as np
@@ -190,6 +255,26 @@ def main(argv=None) -> int:
     ]
     with open(args.out + ".md", "w") as f:
         f.write("\n".join(md) + "\n")
+
+    # Save predictions so figures can be re-rendered without retraining
+    # (--figures_from <out>_predictions.npz).
+    np.savez(
+        args.out + "_predictions.npz",
+        labels=test_ds.arrays["labels"],
+        history_train_loss=np.asarray(
+            results["history"]["train_loss"], dtype=np.float64
+        ),
+        history_val_ccc=np.asarray(
+            results["history"]["val_ccc"], dtype=np.float64
+        ),
+        **pred,
+    )
+
+    if args.figures:
+        _render_figures(
+            pred, test_ds.arrays["labels"], results["history"], args.figures,
+            title_suffix=f"({platform}, CCC {ev.ccc_average:.3f})",
+        )
     print(json.dumps(payload["test"]["ccc"], indent=2))
     print("uncertainty-error r:", payload["uncertainty"])
     print("written:", args.out + ".md")
