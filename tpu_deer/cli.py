@@ -186,6 +186,7 @@ class MultimodalDEERPipeline:
             grad_accum_steps=int(t.get("grad_accum_steps", 1)),
             param_sharding=t.get("param_sharding", "tp"),
             spike_backoff=bool(t.get("spike_backoff", True)),
+            ema_decay=float(t.get("ema_decay", 0.0)),
             seed=self.seed,
         )
         steps = sum(

@@ -53,6 +53,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "grad_accum_steps": 1,
         "param_sharding": "tp",  # tp | fsdp | replicated (mesh layout)
         "spike_backoff": True,
+        "ema_decay": 0.0,  # >0: EMA shadow weights (e.g. 0.999)
         "seed": 42,
     },
     "hardware": {
