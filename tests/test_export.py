@@ -67,6 +67,18 @@ class TestExport:
                 got["mu"], np.asarray(ref["mu_all"]), atol=1e-5
             )
 
+    def test_multiplatform_lowering(self, tmp_path):
+        """One artifact lowered for cpu AND tpu still runs on the cpu host."""
+        model, params = create_complete_deer_model(SMALL, seed=0)
+        out = str(tmp_path / "multi")
+        manifest = export_inference(
+            model, params, out, batch_buckets=(4,), platforms=("cpu", "tpu")
+        )
+        assert manifest["platforms"] == ["cpu", "tpu"]
+        engine = load_exported(out)
+        a = np.zeros((4, 16), np.float32)
+        assert engine.predict(a, a, a)["mu"].shape == (4, 3)
+
     def test_bad_format_rejected(self, tmp_path):
         d = tmp_path / "bogus"
         d.mkdir()
