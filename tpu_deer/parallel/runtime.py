@@ -92,18 +92,28 @@ class DistributedRuntime:
             for k, v in batch.items()
         }
 
-    def put_params(self, params: Any, mesh: Mesh) -> Any:
-        """Place a parameter pytree on the global mesh per the TP layout
-        rules. Every process holds the full host copy; each contributes the
-        shards its own devices own (make_array_from_callback), so this works
+    def put_params(self, params: Any, mesh: Mesh, mode: str = "tp") -> Any:
+        """Place a parameter pytree on the global mesh per the layout rules
+        (mode: 'tp' | 'fsdp' | 'replicated', see parallel.mesh.shard_params).
+        Every process holds the full host copy; each contributes the shards
+        its own devices own (make_array_from_callback), so this works
         across processes where plain device_put cannot."""
         if self.process_count == 1:
             from tpu_deer.parallel.mesh import shard_params
 
-            return shard_params(params, mesh)
+            return shard_params(params, mesh, mode=mode)
+
+        from tpu_deer.parallel.mesh import fsdp_sharding_rules
+
+        data_size = mesh.shape.get("data", 1)
 
         def place(path, leaf):
-            spec = param_sharding_rules(path, leaf)
+            if mode == "fsdp":
+                spec = fsdp_sharding_rules(path, leaf, data_size)
+            elif mode == "replicated":
+                spec = P()
+            else:
+                spec = param_sharding_rules(path, leaf)
             sharding = NamedSharding(mesh, spec)
             leaf = np.asarray(leaf)
             return jax.make_array_from_callback(

@@ -226,7 +226,9 @@ class DEERTrainer:
                     f"mesh 'data' axis ({data_size}) for even sharding"
                 )
             if runtime is not None and runtime.process_count > 1:
-                params = runtime.put_params(params, mesh)
+                params = runtime.put_params(
+                    params, mesh, mode=config.param_sharding
+                )
             else:
                 from tpu_deer.parallel.mesh import shard_params
 
