@@ -174,6 +174,12 @@ class TestFSDP:
         b = sharded["fusion"]["av_fusion_in"]["bias"]
         assert b.sharding.spec == P()
 
+    def test_unknown_mode_raises(self):
+        mesh = create_mesh()
+        _, params = create_complete_deer_model(SMALL, seed=0)
+        with pytest.raises(ValueError, match="unknown param_sharding mode"):
+            shard_params(params, mesh, mode="fspd")  # typo must not = tp
+
     def test_fsdp_forward_matches_replicated(self):
         mesh = create_mesh()
         model, params = create_complete_deer_model(SMALL, seed=0)

@@ -38,10 +38,13 @@ OUTPUT_NAMES = ("mu", "uncertainty", "calibrated_uncertainty")
 
 
 def _flatten_params(params) -> dict[str, np.ndarray]:
+    # One device_get for the whole tree (per-leaf fetches would pay the
+    # remote-tunnel round trip ~150 times — CLAUDE.md discipline).
+    params = jax.device_get(params)
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(getattr(k, "key", str(k)) for k in path)
-        flat[key] = np.asarray(jax.device_get(leaf))
+        flat[key] = np.asarray(leaf)
     return flat
 
 
@@ -87,18 +90,20 @@ def export_inference(
 
     flat = _flatten_params(params)
     param_tree = _unflatten_params(flat)  # host-numpy tree, abstractable
+    # Abstract shapes only — no device arrays are materialized for tracing
+    # (jnp ops on ~150 host leaves would each be a tunnel round trip).
+    abstract_params = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        param_tree,
+    )
     artifacts = {}
     for b in sorted(batch_buckets):
-        args = (
-            param_tree,
-            jnp.zeros((b, cfg.audio_dim), jnp.float32),
-            jnp.zeros((b, cfg.video_dim), jnp.float32),
-            jnp.zeros((b, cfg.text_dim), jnp.float32),
+        exported = exporter(
+            abstract_params,
+            jax.ShapeDtypeStruct((b, cfg.audio_dim), np.float32),
+            jax.ShapeDtypeStruct((b, cfg.video_dim), np.float32),
+            jax.ShapeDtypeStruct((b, cfg.text_dim), np.float32),
         )
-        exported = exporter(*jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
-            args,
-        ))
         name = f"forward_b{b}.hlo"
         with open(os.path.join(output_dir, name), "wb") as f:
             f.write(exported.serialize())
@@ -147,43 +152,23 @@ class ExportedEngine:
             with open(os.path.join(output_dir, name), "rb") as f:
                 self._fns[int(b)] = jax_export.deserialize(f.read())
 
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]
-
     def predict(
         self, audio: np.ndarray, video: np.ndarray, text: np.ndarray
     ) -> dict[str, np.ndarray]:
-        n = len(audio)
-        max_b = self.buckets[-1]
-        if n > max_b:
-            parts = [
-                self.predict(
-                    audio[i : i + max_b], video[i : i + max_b],
-                    text[i : i + max_b],
-                )
-                for i in range(0, n, max_b)
-            ]
-            return {
-                k: np.concatenate([p[k] for p in parts]) for k in parts[0]
-            }
-        b = self._bucket(n)
-        pad = b - n
-        if pad:
-            padz = lambda x: np.concatenate(
-                [x, np.zeros((pad,) + x.shape[1:], x.dtype)]
-            )
-            audio, video, text = padz(audio), padz(video), padz(text)
-        out = self._fns[b].call(
-            self.params,
-            jnp.asarray(audio, jnp.float32),
-            jnp.asarray(video, jnp.float32),
-            jnp.asarray(text, jnp.float32),
-        )
+        from tpu_deer.serve import bucketed_predict
+
         names = self.manifest["outputs"]
-        return {k: np.asarray(v)[:n] for k, v in zip(names, out)}
+
+        def run(a, v, t):
+            out = self._fns[len(a)].call(
+                self.params,
+                jnp.asarray(a, jnp.float32),
+                jnp.asarray(v, jnp.float32),
+                jnp.asarray(t, jnp.float32),
+            )
+            return dict(zip(names, out))
+
+        return bucketed_predict(run, self.buckets, audio, video, text)
 
 
 def load_exported(output_dir: str) -> ExportedEngine:

@@ -109,6 +109,25 @@ def fsdp_sharding_rules(path: tuple, leaf, data_size: int) -> P:
     return P(*spec)
 
 
+PARAM_SHARDING_MODES = ("tp", "fsdp", "replicated")
+
+
+def param_spec(path: tuple, leaf, mode: str, data_size: int) -> P:
+    """Single dispatch point for the parameter-layout modes (used by both
+    single-host shard_params and the multi-host runtime). Raises on an
+    unknown mode — a typo must not silently train with the TP layout."""
+    if mode == "tp":
+        return param_sharding_rules(path, leaf)
+    if mode == "fsdp":
+        return fsdp_sharding_rules(path, leaf, data_size)
+    if mode == "replicated":
+        return P()
+    raise ValueError(
+        f"unknown param_sharding mode {mode!r}; expected one of "
+        f"{PARAM_SHARDING_MODES}"
+    )
+
+
 def shard_params(params, mesh: Mesh, mode: str = "tp"):
     """Place a parameter pytree on the mesh.
 
@@ -119,12 +138,7 @@ def shard_params(params, mesh: Mesh, mode: str = "tp"):
     data_size = mesh.shape.get("data", 1)
 
     def place(path, leaf):
-        if mode == "fsdp":
-            spec = fsdp_sharding_rules(path, leaf, data_size)
-        elif mode == "replicated":
-            spec = P()
-        else:
-            spec = param_sharding_rules(path, leaf)
+        spec = param_spec(path, leaf, mode, data_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -26,7 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_deer.parallel.mesh import MeshConfig, create_mesh, param_sharding_rules
+from tpu_deer.parallel.mesh import MeshConfig, create_mesh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,17 +103,12 @@ class DistributedRuntime:
 
             return shard_params(params, mesh, mode=mode)
 
-        from tpu_deer.parallel.mesh import fsdp_sharding_rules
+        from tpu_deer.parallel.mesh import param_spec
 
         data_size = mesh.shape.get("data", 1)
 
         def place(path, leaf):
-            if mode == "fsdp":
-                spec = fsdp_sharding_rules(path, leaf, data_size)
-            elif mode == "replicated":
-                spec = P()
-            else:
-                spec = param_sharding_rules(path, leaf)
+            spec = param_spec(path, leaf, mode, data_size)
             sharding = NamedSharding(mesh, spec)
             leaf = np.asarray(leaf)
             return jax.make_array_from_callback(

@@ -30,6 +30,39 @@ logger = logging.getLogger(__name__)
 DEFAULT_BUCKETS = (1, 8, 64, 256)
 
 
+def bucketed_predict(
+    predict_padded, buckets: Sequence[int],
+    audio: np.ndarray, video: np.ndarray, text: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Shared serving dispatch contract: requests pad up to the nearest
+    bucket (so XLA never sees a new shape), requests beyond the largest
+    bucket chunk, outputs unpad back to the request size.
+
+    `predict_padded(audio, video, text)` runs one padded batch and returns a
+    dict of arrays. Used by both the live-jit InferenceEngine and the AOT
+    ExportedEngine (tpu_deer.export) so the contract can't drift."""
+    n = len(audio)
+    max_b = buckets[-1]
+    if n > max_b:
+        parts = [
+            bucketed_predict(
+                predict_padded, buckets,
+                audio[i : i + max_b], video[i : i + max_b], text[i : i + max_b],
+            )
+            for i in range(0, n, max_b)
+        ]
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    b = next((bk for bk in buckets if n <= bk), max_b)
+    pad = b - n
+    if pad:
+        padz = lambda x: np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)]
+        )
+        audio, video, text = padz(audio), padz(video), padz(text)
+    out = predict_padded(audio, video, text)
+    return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -102,12 +135,6 @@ class InferenceEngine:
                 np.zeros((b, cfg.text_dim), np.float32),
             )
 
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]
-
     def predict(
         self, audio: np.ndarray, video: np.ndarray, text: np.ndarray
     ) -> dict[str, np.ndarray]:
@@ -115,29 +142,13 @@ class InferenceEngine:
 
         Requests larger than the biggest bucket are processed in chunks.
         """
-        n = len(audio)
-        max_b = self.buckets[-1]
-        if n > max_b:
-            parts = [
-                self.predict(audio[i : i + max_b], video[i : i + max_b],
-                             text[i : i + max_b])
-                for i in range(0, n, max_b)
-            ]
-            return {
-                k: np.concatenate([p[k] for p in parts]) for k in parts[0]
-            }
 
-        b = self._bucket(n)
-        pad = b - n
-        if pad:
-            padz = lambda x: np.concatenate(
-                [x, np.zeros((pad,) + x.shape[1:], x.dtype)]
+        def run(a, v, t):
+            return self._forward(
+                self.params,
+                jnp.asarray(a, jnp.float32),
+                jnp.asarray(v, jnp.float32),
+                jnp.asarray(t, jnp.float32),
             )
-            audio, video, text = padz(audio), padz(video), padz(text)
-        out = self._forward(
-            self.params,
-            jnp.asarray(audio, jnp.float32),
-            jnp.asarray(video, jnp.float32),
-            jnp.asarray(text, jnp.float32),
-        )
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+        return bucketed_predict(run, self.buckets, audio, video, text)

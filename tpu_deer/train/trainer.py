@@ -209,11 +209,15 @@ class DEERTrainer:
         self.steps_per_epoch = max(1, steps_per_epoch)
         # Schedules are stepped by optimizer UPDATES: with gradient
         # accumulation the inner adamw only advances every k-th micro-step,
-        # so the decay/warmup horizons are measured in updates.
-        accum = max(1, config.grad_accum_steps)
-        updates_per_epoch = max(1, self.steps_per_epoch // accum)
-        self.total_steps = updates_per_epoch * config.num_epochs
-        self._updates_per_epoch = updates_per_epoch
+        # so the decay/warmup horizons are measured in updates. MultiSteps
+        # carries accumulation ACROSS epoch boundaries, so divide the global
+        # micro-step total (not per-epoch — per-epoch floor division
+        # under/over-counts whenever steps_per_epoch % accum != 0).
+        self._accum = max(1, config.grad_accum_steps)
+        self.total_steps = max(
+            1, (self.steps_per_epoch * config.num_epochs) // self._accum
+        )
+        self._updates_per_epoch = max(1, self.steps_per_epoch // self._accum)
 
         self.schedule = self._build_schedule()
         self.optimizer = self._build_optimizer(params)
@@ -347,7 +351,8 @@ class DEERTrainer:
     def _build_schedule(self) -> Callable[[int], float]:
         cfg = self.config
         warmup = min(
-            cfg.warmup_epochs * self._updates_per_epoch, self.total_steps // 2
+            (cfg.warmup_epochs * self.steps_per_epoch) // self._accum,
+            self.total_steps // 2,
         )
         if cfg.scheduler == "cosine":
             return optax.warmup_cosine_decay_schedule(
@@ -533,7 +538,18 @@ class DEERTrainer:
         # Plateau scheduler: scale the actual update (not the loss — Adam
         # normalizes gradient magnitude, so loss scaling wouldn't change lr).
         # The non-finite gate folds into the same scalar multiply for free.
-        scale = lr_scale if okf is None else lr_scale * okf
+        # Under gradient accumulation the gate is NOT applied to the emitted
+        # update: the bad micro-batch already contributed a ZEROED gradient
+        # to the window mean, and gating the emit step would throw away the
+        # k-1 good micro-batches while MultiSteps' inner state (moments,
+        # schedule count, acc reset) had already advanced — a param/state
+        # desync. Without accumulation the gate keeps params exactly frozen
+        # on a bad step (zero grads alone still yield a nonzero Adam update
+        # from decayed moments).
+        if okf is None or self._accum > 1:
+            scale = lr_scale
+        else:
+            scale = lr_scale * okf
         updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -765,8 +781,9 @@ class DEERTrainer:
             train_metrics = self.train_epoch(train_iters, epoch)
             self.history["train_loss"].append(train_metrics.get("loss", float("nan")))
             spiked = self._spike_update(train_metrics.get("loss"))
+            # state.step counts micro-steps; the schedule counts updates.
             lr = (
-                float(self.schedule(int(self.state.step)))
+                float(self.schedule(int(self.state.step) // self._accum))
                 * self._plateau_scale
                 * self._spike_scale
             )
