@@ -298,6 +298,16 @@ class TestSpikeBackoff:
             trainer._spike_update(3.0)
         assert trainer._spike_scale == 1.0
 
+    def test_nonfinite_fraction_triggers_backoff(self):
+        """A finite epoch MEAN with >1% skipped steps is still a spike (the
+        skip gate hides collapses from the mean, esp. in fused epochs)."""
+        trainer, cfg = _trainer()
+        for loss in [5.0, 4.0, 3.5]:
+            trainer._spike_update(loss)
+        assert trainer._spike_update(3.0, nonfinite_frac=0.05)
+        assert trainer._spike_scale == pytest.approx(cfg.spike_backoff_factor)
+        assert not trainer._spike_update(3.0, nonfinite_frac=0.0)
+
     def test_negative_losses_supported(self):
         """The DEER NLL can go negative; median+MAD must not misfire there."""
         trainer, _ = _trainer()

@@ -780,7 +780,10 @@ class DEERTrainer:
         for epoch in range(start_epoch, num_epochs):
             train_metrics = self.train_epoch(train_iters, epoch)
             self.history["train_loss"].append(train_metrics.get("loss", float("nan")))
-            spiked = self._spike_update(train_metrics.get("loss"))
+            spiked = self._spike_update(
+                train_metrics.get("loss"),
+                nonfinite_frac=train_metrics.get("nonfinite_skipped", 0.0),
+            )
             # state.step counts micro-steps; the schedule counts updates.
             lr = (
                 float(self.schedule(int(self.state.step) // self._accum))
@@ -833,7 +836,9 @@ class DEERTrainer:
             "final_step": int(self.state.step),
         }
 
-    def _spike_update(self, loss: Optional[float]) -> bool:
+    def _spike_update(
+        self, loss: Optional[float], nonfinite_frac: float = 0.0
+    ) -> bool:
         """Per-epoch loss-spike detector (see TrainingConfig.spike_backoff).
 
         Returns True when this epoch's train loss is a spike. Robust to the
@@ -841,13 +846,20 @@ class DEERTrainer:
         clean epochs, never a ratio. Spiked (or non-finite) losses are NOT
         appended to the history, so a divergence can't drag the baseline up
         and mask itself.
+
+        `nonfinite_frac` (the epoch's mean of aux["nonfinite_skipped"]) is
+        an independent trigger: the skip gate zeroes bad steps, so a
+        collapse can hide from the loss MEAN — especially under fused
+        epochs, where the whole epoch reduces to one mean — while the
+        skipped fraction reports it directly. More than 1% skipped steps
+        means the lr is too high for the loss surface.
         """
         cfg = self.config
         if not cfg.spike_backoff or loss is None:
             return False
         hist = self._spike_history
         spiked = False
-        if not np.isfinite(loss):
+        if not np.isfinite(loss) or nonfinite_frac > 0.01:
             spiked = True
         elif len(hist) >= 3:
             med = float(np.median(hist))
