@@ -396,6 +396,21 @@ class TestEMA:
         live = trainer.predict(val["synthetic"])
         assert not np.allclose(out["mu"], live["mu"])
 
+    def test_ema_eval_validates_on_shadow_weights(self):
+        train, val = _datasets()
+        trainer, _ = _trainer(num_epochs=3, ema_decay=0.8, ema_eval=True)
+        results = trainer.train(train, val)
+        assert np.isfinite(results["best_val_ccc"])
+        # Explicit live-vs-EMA validation must differ after training.
+        from tpu_deer.data.pipeline import BatchIterator
+
+        iters = {
+            "synthetic": BatchIterator(val["synthetic"], 64, shuffle=False)
+        }
+        live = trainer.validate_epoch(iters, use_ema=False)
+        ema = trainer.validate_epoch(iters, use_ema=True)
+        assert live["ccc_average"] != ema["ccc_average"]
+
     def test_composes_with_grad_accum(self):
         """Under accumulation the EMA advances once per real update."""
         import jax

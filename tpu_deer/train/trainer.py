@@ -133,6 +133,9 @@ class TrainingConfig:
     # checkpointed/resumed for free) and `trainer.ema_params` /
     # `predict(use_ema=True)` read it out. Typical decay: 0.999.
     ema_decay: float = 0.0
+    # Validate (and early-stop/checkpoint-select) on the EMA weights instead
+    # of the live weights. Requires ema_decay > 0.
+    ema_eval: bool = False
     # Fuse a whole epoch into one lax.scan dispatch (needs device-resident
     # data). Opt-in: pays off only when an epoch has MANY small steps and
     # dispatch latency dominates — measured on this setup, the scan's one-off
@@ -711,13 +714,20 @@ class DEERTrainer:
         keys = aux_host[0].keys()
         return {k: float(np.mean([a[k] for a in aux_host])) for k in keys}
 
-    def validate_epoch(self, val_iterators: dict) -> dict[str, float]:
+    def validate_epoch(
+        self, val_iterators: dict, use_ema: Optional[bool] = None
+    ) -> dict[str, float]:
+        if use_ema is None:
+            use_ema = self.config.ema_eval and self.config.ema_decay > 0
+        params = self.ema_params if use_ema else self.state.params
+        if params is None:
+            raise ValueError("use_ema=True requires TrainingConfig.ema_decay > 0")
         # Dispatch all eval batches first; one device_get at the end.
         pending = []
         for name, it in val_iterators.items():
             for idx, mask_arr in it.epoch_indices(0):
                 batch = self._batch_from_indices(it.dataset, idx)
-                out = self._eval_step(self.state.params, batch)
+                out = self._eval_step(params, batch)
                 pending.append((out, it.dataset.arrays["labels"][idx], mask_arr))
         host_outs = jax.device_get([p[0] for p in pending])
         preds, targets, uncs, cal_uncs = [], [], [], []
