@@ -187,6 +187,7 @@ class MultimodalDEERPipeline:
             param_sharding=t.get("param_sharding", "tp"),
             spike_backoff=bool(t.get("spike_backoff", True)),
             ema_decay=float(t.get("ema_decay", 0.0)),
+            ema_eval=bool(t.get("ema_eval", False)),
             seed=self.seed,
         )
         steps = sum(

@@ -54,6 +54,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "param_sharding": "tp",  # tp | fsdp | replicated (mesh layout)
         "spike_backoff": True,
         "ema_decay": 0.0,  # >0: EMA shadow weights (e.g. 0.999)
+        "ema_eval": False,  # validate/early-stop on the EMA weights
         "seed": 42,
     },
     "hardware": {
