@@ -215,13 +215,16 @@ def pearson_np(a: np.ndarray, b: np.ndarray) -> float:
     return float(((a - a.mean()) * (b - b.mean())).mean() / denom) if denom > EPS else 0.0
 
 
-def ece_np(
+def reliability_np(
     predictions: np.ndarray,
     targets: np.ndarray,
     uncertainties: np.ndarray,
     n_bins: int = 10,
-) -> float:
-    """Numpy twin of uncertainty_calibration_error (same binning/values)."""
+) -> dict:
+    """Reliability-curve data under the SAME definition as ece_np
+    (uncertainty-quantile bins, confidence = 1-u, accuracy = 1-|err|), so a
+    plotted curve is directly consistent with the reported headline ECE.
+    Returns {bin_confidence, bin_accuracy, bin_count, ece}."""
     errors = np.abs(np.asarray(predictions) - np.asarray(targets))
     unc = np.asarray(uncertainties, dtype=np.float64)
     if errors.ndim > 1:
@@ -230,14 +233,18 @@ def ece_np(
     errors = errors.ravel()
     unc = unc.ravel()
     mask = np.isfinite(errors) & np.isfinite(unc)
+    empty = {
+        "bin_confidence": [], "bin_accuracy": [], "bin_count": [], "ece": 1.0
+    }
     if mask.sum() < n_bins:
-        return 1.0
+        return empty
     errors, unc = errors[mask], unc[mask]
     edges = np.quantile(unc, np.linspace(0, 1, n_bins + 1))
     edges[0] = 0.0
     edges[-1] = unc.max() + 1e-6
     ece = 0.0
     total = len(errors)
+    bin_conf, bin_acc, bin_count = [], [], []
     for i in range(n_bins):
         sel = (unc >= edges[i]) & (unc < edges[i + 1])
         if sel.sum() == 0:
@@ -245,7 +252,25 @@ def ece_np(
         avg_conf = 1.0 - unc[sel].mean()
         avg_acc = 1.0 - errors[sel].mean()
         ece += (sel.sum() / total) * abs(avg_conf - avg_acc)
-    return float(ece)
+        bin_conf.append(float(avg_conf))
+        bin_acc.append(float(avg_acc))
+        bin_count.append(int(sel.sum()))
+    return {
+        "bin_confidence": bin_conf,
+        "bin_accuracy": bin_acc,
+        "bin_count": bin_count,
+        "ece": float(ece),
+    }
+
+
+def ece_np(
+    predictions: np.ndarray,
+    targets: np.ndarray,
+    uncertainties: np.ndarray,
+    n_bins: int = 10,
+) -> float:
+    """Numpy twin of uncertainty_calibration_error (same binning/values)."""
+    return reliability_np(predictions, targets, uncertainties, n_bins)["ece"]
 
 
 def evaluate_predictions(

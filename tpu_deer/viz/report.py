@@ -236,7 +236,6 @@ def plot_summary_figure(
     curves, reliability, uncertainty-vs-error, per-dim CCC, uncertainty
     histogram — the at-a-glance summary the per-plot report lacked."""
     from tpu_deer.core.metrics import ccc_np
-    from tpu_deer.eval.calibration import CalibrationAnalyzer
 
     predictions = np.asarray(predictions)
     targets = np.asarray(targets)
@@ -273,14 +272,20 @@ def plot_summary_figure(
     if uncertainties is not None:
         unc = np.asarray(uncertainties).mean(axis=1)
         err = np.abs(predictions - targets).mean(axis=1)
-        # (1,0) reliability.
+        # (1,0) reliability — the ece_np definition (uncertainty-quantile
+        # bins, conf = 1-u, acc = 1-|err|), so the plotted ECE matches the
+        # reported headline metric. (CalibrationAnalyzer keeps the
+        # reference's threshold-accuracy definition for the parity eval
+        # path, but its curve is not a meaningful calibration picture.)
+        from tpu_deer.core.metrics import reliability_np
+
         ax = axes[1, 0]
-        cal = CalibrationAnalyzer().analyze(predictions, targets, uncertainties)
-        rel = cal["reliability"]
+        rel = reliability_np(predictions, targets, uncertainties)
         ax.plot([0, 1], [0, 1], "--", color="gray", label="ideal")
         ax.plot(rel["bin_confidence"], rel["bin_accuracy"], "o-", label="observed")
-        ax.set_xlabel("confidence"); ax.set_ylabel("accuracy")
-        ax.set_title(f"Reliability (ECE {cal['ece']:.3f})")
+        ax.set_xlabel("confidence (1 − uncertainty)")
+        ax.set_ylabel("accuracy (1 − |error|)")
+        ax.set_title(f"Reliability (ECE {rel['ece']:.3f})")
         ax.legend(); ax.grid(alpha=0.3)
         # (1,1) uncertainty vs error.
         ax = axes[1, 1]
@@ -324,7 +329,6 @@ def create_comprehensive_report(
     Parity with visualization.py:1019-1198.
     """
     from tpu_deer.core.metrics import evaluate_predictions
-    from tpu_deer.eval.calibration import CalibrationAnalyzer
     from tpu_deer.eval.uncertainty import sparsification_curve
 
     os.makedirs(output_dir, exist_ok=True)
@@ -341,11 +345,15 @@ def create_comprehensive_report(
         )
 
     if uncertainties is not None:
+        from tpu_deer.core.metrics import reliability_np
+
         uv = UncertaintyVisualizer()
         errors = np.abs(predictions - targets)
-        cal = CalibrationAnalyzer().analyze(predictions, targets, uncertainties)
+        # Quantile-binned reliability (the ece_np definition) so the plotted
+        # curve matches the reported ECE; see plot_summary_figure.
         paths["calibration"] = uv.plot_uncertainty_calibration(
-            cal["reliability"], p("calibration.png")
+            reliability_np(predictions, targets, uncertainties),
+            p("calibration.png"),
         )
         paths["uncertainty_vs_error"] = uv.plot_uncertainty_vs_error(
             errors.mean(axis=1), np.asarray(uncertainties).mean(axis=1),
