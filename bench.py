@@ -165,6 +165,8 @@ def main() -> int:
     )
 
     # Step time is dispatch-bound below ~8k; 16384 saturates the chip.
+    # Measured (chained steps, forced fetch): 36.7% MFU at 16384, 33.3% at
+    # 32768, 27.5% at 65536 — bigger batches go HBM-bound, not faster.
     TRAIN_BS = 16384
     splits = make_synthetic_splits(
         SyntheticConfig(n_train=TRAIN_BS * 2, n_val=8, n_test=8)
