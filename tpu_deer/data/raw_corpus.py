@@ -181,13 +181,23 @@ def load_raw_corpus(
         )
 
     n_audio = int(max_audio_s * sample_rate)
-    splits: dict[str, dict[str, list]] = {}
-    for s in samples:
-        sig = (
+    # Threaded decode up front: the native C++ wav reader releases the GIL,
+    # so a small pool parallelizes decode+resample across utterances (same
+    # pattern as ravdess.py / iemocap.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load(s):
+        return (
             load_wav(s["wav"], target_sr=sample_rate)
             if s["wav"]
             else np.zeros(n_audio, np.float32)
         )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        signals = list(pool.map(_load, samples))
+
+    splits: dict[str, dict[str, list]] = {}
+    for s, sig in zip(samples, signals):
         padded = np.zeros(n_audio, np.float32)
         padded[: min(len(sig), n_audio)] = sig[:n_audio]
 
