@@ -11,6 +11,9 @@ Behavioral parity with the reference's two fusion stacks:
     signature bug at fusion.py:148-150/384 is fixed here: uncertainties are
     an explicit optional argument and the call sites agree)
   * AdaptiveFusionGating         — fusion.py:421-498
+  * MoEFusion                    — expert-parallel extension (no reference
+    equivalent): dense mixture of expert MLPs whose stacked params shard
+    over an 'expert' mesh axis
   * AttentionFusion              — fusion.py:501-526
   * BilinearFusion               — fusion.py:529-554
   * create_fusion_module factory — fusion.py:557-592
@@ -310,6 +313,73 @@ class AdaptiveFusionGating(nn.Module):
         return jnp.sum(weights[:, :, None] * stacked, axis=1)
 
 
+class _Expert(nn.Module):
+    """One MoE expert MLP. `deterministic` is positional because flax's
+    lifted vmap drops keyword args (RuntimeWarning) — passed as a kwarg the
+    dropout switch would be silently ignored."""
+
+    hidden: int
+    out: int
+    dropout: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, deterministic):
+        return MLP(
+            [self.hidden, self.out],
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(x, deterministic=deterministic)
+
+
+class MoEFusion(nn.Module):
+    """Mixture-of-fusion-experts with dense (softmax) gating.
+
+    Expert-parallel generalization of AdaptiveFusionGating (reference
+    fusion.py:421-498): instead of 3 fixed strategies, `num_experts`
+    identical expert MLPs specialize under a learned per-sample gate. The
+    mixture is dense — every expert runs and the gate weights the blend — so
+    there is no token-dropping/capacity machinery to tune at this model
+    scale; what makes it a *parallelism* primitive is the parameter layout:
+    expert params are stacked on a leading axis (via nn.vmap) so they shard
+    over an 'expert' mesh axis (parallel/mesh.py:shard_moe_params). Each
+    device then computes only its experts' MLPs and the gate-weighted einsum
+    reduces over experts through an XLA-inserted psum riding ICI.
+    """
+
+    input_dims: Sequence[int]
+    output_dim: int
+    num_experts: int = 4
+    expert_hidden: int = 256
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modalities, *, deterministic: bool = True):
+        x = jnp.concatenate(list(modalities), axis=-1)
+        gate = nn.softmax(
+            nn.Dense(self.num_experts, dtype=self.dtype, name="gate")(x),
+            axis=-1,
+        )  # [B, E]
+        experts = nn.vmap(
+            _Expert,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(None, None),
+            out_axes=0,
+            axis_size=self.num_experts,
+        )(
+            self.expert_hidden,
+            self.output_dim,
+            self.dropout,
+            self.dtype,
+            name="experts",
+        )
+        outs = experts(x, deterministic)  # [E, B, D]
+        return jnp.einsum("be,ebd->bd", gate.astype(outs.dtype), outs)
+
+
 def create_fusion_module(
     fusion_type: str,
     input_dims: Sequence[int],
@@ -329,4 +399,6 @@ def create_fusion_module(
         return BilinearFusion(tuple(input_dims), output_dim, **kwargs)
     if fusion_type == "adaptive":
         return AdaptiveFusionGating(tuple(input_dims), output_dim, **kwargs)
+    if fusion_type == "moe":
+        return MoEFusion(tuple(input_dims), output_dim, **kwargs)
     return ConcatFusion(tuple(input_dims), output_dim, **kwargs)

@@ -144,6 +144,24 @@ def shard_params(params, mesh: Mesh, mode: str = "tp"):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def shard_moe_params(params, mesh: Mesh, axis_name: str = "expert"):
+    """Expert-parallel placement for MoEFusion (models/fusion.py): leaves
+    under an 'experts' module carry a leading expert axis (stacked by
+    nn.vmap) and shard it over `axis_name`; everything else (gate, the rest
+    of the model) replicates. XLA then partitions the per-expert MLPs across
+    devices and inserts the psum for the gate-weighted mixture reduction."""
+
+    def place(path, leaf):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if "experts" in keys and leaf.ndim >= 1:
+            spec = P(axis_name, *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def shard_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
     """Place a host batch dict onto the mesh, sharded over 'data'."""
     sharding = batch_sharding(mesh)
