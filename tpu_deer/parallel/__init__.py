@@ -1,5 +1,5 @@
 """SPMD parallelism: device mesh, sharding rules, distributed metrics,
-multi-host runtime."""
+multi-host runtime, ring-attention sequence parallelism, GPipe pipeline."""
 
 from tpu_deer.parallel.mesh import (
     MeshConfig,
@@ -10,7 +10,10 @@ from tpu_deer.parallel.mesh import (
     fsdp_sharding_rules,
     shard_params,
     shard_batch,
+    shard_moe_params,
 )
+from tpu_deer.parallel.pipeline import pipeline_apply, pipeline_sharded
+from tpu_deer.parallel.sequence import ring_attention, ring_attention_sharded
 from tpu_deer.parallel.dist_metrics import global_ccc_stats, psum_tree
 from tpu_deer.parallel.runtime import (
     DistributedRuntime,
