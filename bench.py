@@ -163,9 +163,11 @@ def main() -> int:
     from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
     from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
     from tpu_deer.utils.profiling import (
-        calculate_model_flops,
+        cost_analysis_summary,
         peak_flops_per_chip,
+        peak_hbm_bandwidth,
         profile_training_speed,
+        roofline_seconds,
     )
 
     # Step time is dispatch-bound below ~8k; 16384 saturates the chip.
@@ -190,26 +192,46 @@ def main() -> int:
         sync_per_step=False,
     )
 
-    # --- MFU accounting (XLA cost-analysis FLOPs / peak chip FLOPs) -------
+    # --- MFU + roofline accounting (XLA cost analysis: flops + bytes) -----
     peak = peak_flops_per_chip()
-    fwd_flops = calculate_model_flops(forward, params, *make_batch(B))
+    hbm_bw = peak_hbm_bandwidth()
+    fwd_cost = cost_analysis_summary(forward, params, *make_batch(B))
     train_batch = trainer._put(
         {k: v[:TRAIN_BS] for k, v in splits["train"].items()
          if k in ("audio", "video", "text", "labels")}
     )
-    train_flops = calculate_model_flops(
+    train_cost = cost_analysis_summary(
         trainer._train_step_impl, trainer.state, train_batch,
         jnp.asarray(1.0), jnp.asarray(1.0),
     )
+    fwd_flops = fwd_cost["flops"] if fwd_cost else None
+    train_flops = train_cost["flops"] if train_cost else None
 
     def mfu(flops_per_call, calls_per_sec):
         if not (peak and flops_per_call):
             return None
         return 100.0 * flops_per_call * calls_per_sec / peak
 
+    def roofline(cost, secs_per_call):
+        """% of the two-ceiling (MXU / HBM) roofline bound attained. The
+        bandwidth ceiling uses XLA's per-op 'bytes accessed', an upper bound
+        on true HBM traffic — so >100% means the program beats the naive
+        traffic bound (XLA fusion keeps intermediates on-chip), and the true
+        attainment lies between MFU and this figure."""
+        if not (peak and hbm_bw and cost and secs_per_call):
+            return None, None
+        sol = roofline_seconds(cost["flops"], cost["bytes"], peak, hbm_bw)
+        intensity = cost["flops"] / max(cost["bytes"], 1.0)
+        return 100.0 * sol / secs_per_call, intensity
+
     mfu_fwd = mfu(fwd_flops, throughput / B)
     mfu_train = mfu(train_flops, train_stats["samples_per_sec"] / TRAIN_BS)
+    rl_fwd, ai_fwd = roofline(fwd_cost, fwd_time / K)
+    rl_train, ai_train = roofline(
+        train_cost, train_stats["step_ms_mean"] / 1e3
+    )
     fmt = lambda v: f"{v:.1f}%" if v is not None else "n/a"
+    fmt_ai = lambda v: f"{v:.0f}" if v is not None else "n/a"
 
     peak_note = f" (peak {peak/1e12:.0f} TF bf16)" if peak else ""
     print(
@@ -220,7 +242,15 @@ def main() -> int:
         f"throughput={throughput:,.0f} samples/s/chip (batch {B} x{K} scan) "
         f"| train {train_stats['samples_per_sec']:,.0f} samples/s/chip "
         f"(bs {train_stats['batch_size']}) | "
-        f"mfu_fwd={fmt(mfu_fwd)} mfu_train={fmt(mfu_train)}{peak_note}",
+        f"mfu_fwd={fmt(mfu_fwd)} mfu_train={fmt(mfu_train)}{peak_note}"
+        + (
+            f" | roofline_fwd={fmt(rl_fwd)} roofline_train={fmt(rl_train)} "
+            f"vs the conservative per-op traffic bound (>100% = beats naive "
+            f"HBM accounting; intensity {fmt_ai(ai_fwd)}/{fmt_ai(ai_train)} "
+            f"FLOP/B, ridge {peak / hbm_bw:.0f})"
+            if peak and hbm_bw
+            else ""
+        ),
         file=sys.stderr,
     )
     print(

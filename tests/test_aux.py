@@ -137,6 +137,35 @@ class TestProfiling:
         if jax.devices()[0].platform != "tpu":
             assert peak_flops_per_chip() is None
 
+    def test_peak_hbm_env_override(self, monkeypatch):
+        from tpu_deer.utils.profiling import peak_hbm_bandwidth
+
+        monkeypatch.setenv("TPU_DEER_PEAK_HBM_GBPS", "819")
+        assert peak_hbm_bandwidth() == 819e9
+        monkeypatch.delenv("TPU_DEER_PEAK_HBM_GBPS")
+        if jax.devices()[0].platform != "tpu":
+            assert peak_hbm_bandwidth() is None
+
+    def test_cost_analysis_summary(self):
+        from tpu_deer.utils.profiling import cost_analysis_summary
+
+        def f(x):
+            return x @ x
+
+        summary = cost_analysis_summary(f, jnp.ones((32, 32)))
+        if summary is not None:  # None acceptable if backend lacks analysis
+            assert summary["flops"] > 0
+            # 32x32 f32 in + out buffers at minimum.
+            assert summary["bytes"] >= 2 * 32 * 32 * 4
+
+    def test_roofline_seconds_two_ceilings(self):
+        from tpu_deer.utils.profiling import roofline_seconds
+
+        # Compute-bound: high intensity -> flops ceiling binds.
+        assert roofline_seconds(1e12, 1e6, 1e12, 1e9) == 1.0
+        # Bandwidth-bound: low intensity -> bytes ceiling binds.
+        assert roofline_seconds(1e6, 1e12, 1e12, 1e9) == 1000.0
+
 
 class TestComprehensiveEvaluator:
     def test_report_complete(self, rng):

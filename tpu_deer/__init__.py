@@ -15,7 +15,7 @@ Design principles (TPU-first, not a port):
   * Static shapes everywhere; data-dependent control flow via lax primitives.
 
 Reference parity map (reference file → tpu_deer module):
-  src/models/deer.py             → tpu_deer.core.nig, tpu_deer.models.deer_heads
+  src/models/deer.py             → tpu_deer.core.nig, tpu_deer.models.heads
   src/models/encoders.py         → tpu_deer.models.encoders, tpu_deer.ops.audio_frontend
   src/models/fusion.py           → tpu_deer.models.fusion
   src/models/complete_project.py → tpu_deer.models.deer_model

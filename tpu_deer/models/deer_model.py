@@ -3,7 +3,9 @@
 Behavioral parity with reference complete_project.py:462-602, as one pure
 jittable flax module: three feature-level encoders → uncertainty-aware
 cross-modal attention → gated hierarchical fusion → three DEER evidence heads
-→ uncertainty calibration. ~12M parameters at the default config.
+→ uncertainty calibration. 3,918,324 parameters at the default config —
+matching the reference model exactly (its README claims "12M"; the actual
+torch parameter count is also 3,918,324, pinned by tests/test_models.py).
 
 The whole forward (and the training step wrapping it) compiles to a single
 XLA program: at seq-len-1 the attention degenerates into dense matmuls that

@@ -160,14 +160,72 @@ def peak_flops_per_chip(device=None) -> Optional[float]:
 
 def calculate_model_flops(fn: Callable, *args) -> Optional[float]:
     """FLOPs of one invocation via XLA cost analysis (None if unavailable)."""
+    summary = cost_analysis_summary(fn, *args)
+    return summary["flops"] if summary else None
+
+
+def cost_analysis_summary(fn: Callable, *args) -> Optional[dict[str, float]]:
+    """FLOPs and bytes accessed of one invocation, from the compiled
+    executable's XLA cost analysis (post-fusion HLO, so 'bytes accessed'
+    approximates real HBM traffic — fused intermediates don't count)."""
     try:
         lowered = jax.jit(fn).lower(*args)
         analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, list):  # older jax returns per-device list
             analysis = analysis[0]
-        return float(analysis.get("flops", 0.0)) if analysis else None
+        if not analysis:
+            return None
+        return {
+            "flops": float(analysis.get("flops", 0.0)),
+            "bytes": float(analysis.get("bytes accessed", 0.0)),
+        }
     except Exception:
         return None
+
+
+# Peak HBM bandwidth per chip, for roofline accounting.
+# Sources: public TPU spec sheets; override with TPU_DEER_PEAK_HBM_GBPS.
+PEAK_HBM_BYTES_BY_KIND = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def peak_hbm_bandwidth(device=None) -> Optional[float]:
+    """Best-known HBM bytes/s for a device (None when unknown/CPU)."""
+    import os
+
+    env = os.environ.get("TPU_DEER_PEAK_HBM_GBPS")
+    if env:
+        return float(env) * 1e9
+    device = device or jax.devices()[0]
+    if device.platform != "tpu":
+        return None
+    return PEAK_HBM_BYTES_BY_KIND.get(device.device_kind)
+
+
+def roofline_seconds(
+    flops: float, bytes_accessed: float, peak_flops: float, hbm_bw: float
+) -> float:
+    """Execution-time bound under the two-ceiling roofline model: a program
+    can finish no faster than its FLOPs at peak MXU rate nor faster than its
+    HBM traffic at peak bandwidth.
+
+    Caveat on the bandwidth ceiling: XLA's 'bytes accessed' sums every
+    fusion's external operands/results, which over-counts true HBM traffic
+    (values the compiler keeps resident across consumers are charged per
+    use). The returned time is therefore a CONSERVATIVE (pessimistic)
+    bound, and attainment = roofline_seconds / measured_seconds can exceed
+    100% — that reads as "the program beats the naive per-op traffic bound",
+    evidence of fusion quality, not a measurement error. For
+    low-arithmetic-intensity programs (intensity below peak_flops/hbm_bw,
+    ~240 FLOP/B on v5e) this bandwidth ceiling is the relevant one and MFU
+    alone understates how close to the hardware limit the program runs."""
+    return max(flops / peak_flops, bytes_accessed / hbm_bw)
 
 
 @contextlib.contextmanager
