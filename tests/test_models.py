@@ -274,11 +274,84 @@ class TestFusionZoo:
         assert mod.apply({"params": params}, mods).shape == (B, 96)
 
     @pytest.mark.parametrize(
-        "kind", ["hierarchical", "attention", "bilinear", "adaptive", "concat"]
+        "kind", ["hierarchical", "attention", "bilinear", "adaptive", "moe",
+                 "concat"]
     )
     def test_factory(self, rng, kind):
         mod = create_fusion_module(kind, (64, 64, 64), 128)
         assert mod is not None
+
+
+class TestFusionTypeKnob:
+    """DEERModelConfig(fusion_type=...) routes the flagship through the
+    fusion zoo; default stays the reference-parity hierarchical path."""
+
+    def _cfg(self, **kw):
+        from tpu_deer.models.deer_model import DEERModelConfig
+
+        return DEERModelConfig(
+            audio_dim=8, video_dim=8, text_dim=8, encoder_dim=16,
+            fusion_dim=32, attention_heads=2, encoder_layers=1, **kw
+        )
+
+    @pytest.mark.parametrize("kind", ["attention", "bilinear", "moe"])
+    def test_zoo_fusion_forward(self, rng, kind):
+        from tpu_deer.models.deer_model import create_complete_deer_model
+
+        model, params = create_complete_deer_model(
+            self._cfg(fusion_type=kind), seed=0
+        )
+        a = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+        out = model.apply({"params": params}, a, a, a, deterministic=True)
+        assert out["mu_all"].shape == (4, 3)
+        assert np.all(np.isfinite(np.asarray(out["mu_all"])))
+        if kind == "moe":
+            experts = params["fusion"]["experts"]
+            for leaf in jax.tree_util.tree_leaves(experts):
+                assert leaf.shape[0] == 4  # default moe_experts
+
+    def test_default_param_structure_unchanged(self):
+        """fusion_type must default to the parity hierarchical fusion so
+        existing checkpoints keep loading."""
+        from tpu_deer.models.deer_model import create_complete_deer_model
+
+        _, params = create_complete_deer_model(self._cfg(), seed=0)
+        assert "av_fusion_in" in params["fusion"]
+
+    def test_moe_flagship_trains(self, rng):
+        """A few DEERTrainer steps on the MoE-fused flagship reduce loss."""
+        from tpu_deer.data.pipeline import ArrayDataset
+        from tpu_deer.data.synthetic import (
+            SyntheticConfig,
+            make_synthetic_splits,
+        )
+        from tpu_deer.models.deer_model import create_complete_deer_model
+        from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+
+        cfg = self._cfg(fusion_type="moe", moe_experts=2, dropout=0.0)
+        model, params = create_complete_deer_model(cfg, seed=0)
+        splits = make_synthetic_splits(
+            SyntheticConfig(
+                n_train=256, n_val=32, n_test=32,
+                audio_dim=8, video_dim=8, text_dim=8,
+            )
+        )
+        from tpu_deer.data.pipeline import BatchIterator
+
+        ds = ArrayDataset(splits["train"], "syn")
+        trainer = DEERTrainer(
+            model, params,
+            TrainingConfig(
+                batch_size=64, num_epochs=6, learning_rate=3e-3,
+                scheduler="constant", warmup_epochs=0,
+            ),
+            steps_per_epoch=4,
+        )
+        its = {"syn": BatchIterator(ds, 64, shuffle=True, seed=0)}
+        first = trainer.train_epoch(its, 0)["loss"]
+        for e in range(1, 6):
+            last = trainer.train_epoch(its, e)["loss"]
+        assert last < first, f"MoE flagship failed to learn: {first}->{last}"
 
 
 class TestSequenceEncoders:

@@ -118,6 +118,8 @@ class MultimodalDEERPipeline:
             encoder_layers=int(m.get("encoder_layers", 3)),
             dropout=float(m["dropout"]),
             compute_dtype=self.config["hardware"].get("compute_dtype", "float32"),
+            fusion_type=str(m.get("fusion_type", "hierarchical")),
+            moe_experts=int(m.get("moe_experts", 4)),
         )
         self.model, self.params = create_complete_deer_model(
             self.model_config, seed=self.seed

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from tpu_deer.core.nig import NIGParams
 from tpu_deer.models.attention import UncertaintyAwareAttention
 from tpu_deer.models.encoders import ModalityEncoder
-from tpu_deer.models.fusion import HierarchicalFusion
+from tpu_deer.models.fusion import HierarchicalFusion, create_fusion_module
 from tpu_deer.models.heads import DEERPredictionHead, UncertaintyCalibrationLayer
 
 Dtype = Any
@@ -52,6 +52,12 @@ class DEERModelConfig:
     dim_names: Sequence[str] = ("valence", "arousal", "dominance")
     # TPU compute dtype for the dense path; params & NIG math stay float32.
     compute_dtype: str = "float32"
+    # Fusion strategy: "hierarchical" is the reference-parity gated fusion
+    # (complete_project.py:306-366); any other value routes through the
+    # fusion zoo factory (models/fusion.py:create_fusion_module —
+    # "attention" | "bilinear" | "adaptive" | "moe" | concat fallback).
+    fusion_type: str = "hierarchical"
+    moe_experts: int = 4  # experts when fusion_type == "moe"
 
     @property
     def dtype(self):
@@ -83,14 +89,29 @@ class CompleteDEERModel(nn.Module):
             name="uncertainty_attention",
         )(a, v, t, deterministic=deterministic)
 
-        fused = HierarchicalFusion(
-            cfg.encoder_dim, cfg.fusion_dim, cfg.dropout, dt, name="fusion"
-        )(
-            attended["audio"],
-            attended["video"],
-            attended["text"],
-            deterministic=deterministic,
-        )
+        if cfg.fusion_type == "hierarchical":
+            fused = HierarchicalFusion(
+                cfg.encoder_dim, cfg.fusion_dim, cfg.dropout, dt, name="fusion"
+            )(
+                attended["audio"],
+                attended["video"],
+                attended["text"],
+                deterministic=deterministic,
+            )
+        else:
+            kwargs = {"dtype": dt}
+            if cfg.fusion_type == "moe":
+                kwargs["num_experts"] = cfg.moe_experts
+            fused = create_fusion_module(
+                cfg.fusion_type,
+                (cfg.encoder_dim,) * 3,
+                cfg.fusion_dim,
+                name="fusion",
+                **kwargs,
+            )(
+                [attended["audio"], attended["video"], attended["text"]],
+                deterministic=deterministic,
+            )
 
         out: dict = {
             "attention_weights": attended["attention_weights"],
