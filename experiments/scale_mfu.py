@@ -127,9 +127,14 @@ def main() -> int:
         plans = [(1, [64, 128])]
         iters = 3
     else:
-        # width_mult 4 → encoder 1024 / fusion 2048 (~62M params) —
-        # production width where the MXU ceiling binds.
-        plans = [(1, [16384]), (4, [2048, 4096, 8192])]
+        # width_mult 4 → encoder 1024 / fusion 2048 (~62M params); width 8
+        # → ~240M params, where arithmetic intensity crosses the ridge and
+        # the step becomes MXU-bound (measured 69.7% MFU at bs 8192).
+        plans = [
+            (1, [16384]),
+            (4, [2048, 4096, 8192, 16384]),
+            (8, [4096, 8192]),
+        ]
         iters = args.iters
 
     all_rows = {}
