@@ -100,3 +100,26 @@ class TestQuantizedServing:
         ref = engine.predict(a, v, t)
         got = q_engine.predict(a, v, t)
         np.testing.assert_allclose(ref["mu"], got["mu"], atol=0.05)
+
+    def test_quantized_weights_are_int8_on_device(self, rng):
+        """The int8 path must hold int8 buffers on device (HBM savings are
+        the point) — not dequantized float copies."""
+        import jax
+
+        model, params = create_complete_deer_model(CFG, seed=0)
+        q_engine = InferenceEngine(
+            model, params, batch_buckets=(1,), quantize_weights=True
+        )
+        assert q_engine.quantized
+        q_tree, scale_tree = q_engine.params
+        dtypes = {l.dtype for l in jax.tree_util.tree_leaves(q_tree)}
+        assert np.dtype(np.int8) in dtypes
+        # every quantized kernel has a matching per-channel scale
+        for q, s in zip(
+            jax.tree_util.tree_leaves(q_tree),
+            jax.tree_util.tree_leaves(scale_tree),
+        ):
+            if q.dtype == np.int8:
+                assert s.shape == (q.shape[1],)
+        out = q_engine.predict(*_req(rng, 1))
+        assert np.all(np.isfinite(out["mu"]))

@@ -70,6 +70,27 @@ def dequantize_tree(q_tree: Any, scale_tree: Any) -> Any:
     return jax.tree_util.tree_map(deq, q_tree, scale_tree)
 
 
+def dequantize_tree_device(q_tree: Any, scale_tree: Any, dtype=None) -> Any:
+    """Traceable dequantize for use INSIDE a jitted forward.
+
+    Unlike `dequantize_tree` (host numpy, used for offline round-trips), this
+    emits jnp ops, so the int8 kernels stay int8 in HBM and XLA fuses the
+    cast+scale into the consuming matmul: the serving path reads 4x fewer
+    weight bytes per request, which is where the time goes for a
+    weight-traffic-bound small-batch forward.
+    """
+
+    def deq(q, scale):
+        if getattr(scale, "size", 0) == 0:
+            return q
+        out = q.astype(dtype or jnp.float32) * scale[None, :].astype(
+            dtype or jnp.float32
+        )
+        return out
+
+    return jax.tree_util.tree_map(deq, q_tree, scale_tree)
+
+
 def quantized_size_bytes(q_tree: Any) -> int:
     return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(q_tree))
 
