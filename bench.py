@@ -105,6 +105,26 @@ def main() -> int:
     p50 = float(np.percentile(sv, 50)) / SERVE_B
     p99 = float(np.percentile(sv, 99)) / SERVE_B
 
+    # --- int8-weight serving at the same batch (weight HBM traffic /4) ----
+    from tpu_deer.ops.quantization import dequantize_tree_device, quantize_tree
+
+    q_tree, s_tree = jax.tree_util.tree_map(
+        jnp.asarray, quantize_tree(jax.device_get(params))
+    )
+
+    @jax.jit
+    def forward_q(q_tree, s_tree, audio, video, text):
+        p = dequantize_tree_device(q_tree, s_tree)
+        out = model.apply({"params": p}, audio, video, text,
+                          deterministic=True)
+        return out["mu_all"], out["calibrated_uncertainty"]
+
+    np.asarray(forward_q(q_tree, s_tree, *make_batch(SERVE_B))[0])  # compile
+    svq = _e2e_times_ms(
+        forward_q, [(q_tree, s_tree, *make_batch(SERVE_B)) for _ in range(20)]
+    )
+    p50_q = float(np.percentile(svq, 50)) / SERVE_B
+
     # --- forward throughput: K batches in ONE scan dispatch + one fetch.
     # Inputs are generated ON DEVICE inside the scan (negligible vs the
     # model FLOPs) so the dispatch carries ~20 TFLOP of work and the ~27 ms
@@ -157,6 +177,29 @@ def main() -> int:
         np.asarray(fe(sigs))
         fts.append((time.perf_counter() - t0) * 1e3 / N_UTT)
     fe_p50 = float(np.percentile(fts, 50))
+
+    # --- streaming: concurrent real-time sessions per chip ----------------
+    # One push = one dispatch advancing S live audio streams by one 256 ms
+    # chunk (incremental frontend + flagship forward). Real-time factor =
+    # audio-seconds consumed per wall-second; that many concurrent live
+    # streams fit on one chip at real time.
+    from tpu_deer.stream import StreamingConfig, StreamingRecognizer
+
+    S_STREAMS = 256
+    scfg = StreamingConfig()
+    rec = StreamingRecognizer(model, params, n_streams=S_STREAMS, cfg=scfg)
+    chunk_s = scfg.chunk_samples / scfg.frontend.sample_rate
+    chunks = rng.standard_normal(
+        (S_STREAMS, scfg.chunk_samples)
+    ).astype(np.float32)
+    rec.push(chunks)  # compile
+    sts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = rec.push(chunks)  # push() fetches to numpy (host sync)
+        sts.append(time.perf_counter() - t0)
+    stream_p50 = float(np.percentile(sts, 50))
+    rtf = S_STREAMS * chunk_s / stream_p50
 
     # --- train-step throughput: chained steps + ONE final loss fetch ------
     from tpu_deer.data.pipeline import ArrayDataset
@@ -256,6 +299,13 @@ def main() -> int:
     print(
         f"# audio frontend (3s utt) p50 {fe_p50:.2f}ms/utt "
         f"({N_UTT}-utt dispatch)",
+        file=sys.stderr,
+    )
+    print(
+        f"# int8 serving p50/sample={p50_q:.3f}ms (batch {SERVE_B}; "
+        f"f32 {p50:.3f}ms) | streaming: {rtf:,.0f}x real time "
+        f"({S_STREAMS} live streams/push, {chunk_s*1e3:.0f}ms chunks, "
+        f"push p50 {stream_p50*1e3:.1f}ms)",
         file=sys.stderr,
     )
     print(

@@ -83,3 +83,117 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(url + "/nope", timeout=30)
         assert e.value.code == 404
+
+
+class _FakeEngine:
+    """Records per-dispatch batch sizes; returns row-identifying outputs."""
+
+    def __init__(self):
+        self.calls = []
+
+    def predict(self, a, v, t):
+        self.calls.append(len(a))
+        return {"mu": np.repeat(a[:, :1], 3, axis=1)}
+
+
+class TestMicroBatcher:
+    def test_coalesces_queued_requests(self):
+        from tpu_deer.server import MicroBatcher
+
+        eng = _FakeEngine()
+        mb = MicroBatcher(eng, max_batch=64, max_wait_ms=1.0, start=False)
+        futs = []
+        for i in range(5):
+            futs.append(mb.submit(
+                np.full((2, 4), float(i), np.float32),
+                np.zeros((2, 4), np.float32), np.zeros((2, 4), np.float32),
+            ))
+        rows = mb._drain_once()
+        assert rows == 10
+        assert eng.calls == [10]  # ONE dispatch for all 5 requests
+        for i, fut in enumerate(futs):
+            out = fut.result(timeout=1)
+            assert out["mu"].shape == (2, 3)
+            np.testing.assert_allclose(out["mu"], float(i))
+
+    def test_max_batch_respected(self):
+        from tpu_deer.server import MicroBatcher
+
+        eng = _FakeEngine()
+        mb = MicroBatcher(eng, max_batch=4, max_wait_ms=1.0, start=False)
+        futs = [
+            mb.submit(np.full((2, 4), float(i), np.float32),
+                      np.zeros((2, 4), np.float32),
+                      np.zeros((2, 4), np.float32))
+            for i in range(4)
+        ]
+        assert mb._drain_once() == 4  # stops at max_batch
+        assert mb._drain_once() == 4
+        assert eng.calls == [4, 4]
+        assert all(f.result(timeout=1)["mu"].shape == (2, 3) for f in futs)
+
+    def test_engine_failure_propagates_to_all(self):
+        from tpu_deer.server import MicroBatcher
+
+        class Boom:
+            def predict(self, a, v, t):
+                raise RuntimeError("device OOM")
+
+        mb = MicroBatcher(Boom(), max_batch=8, max_wait_ms=1.0, start=False)
+        futs = [mb.submit(np.zeros((1, 4), np.float32),
+                          np.zeros((1, 4), np.float32),
+                          np.zeros((1, 4), np.float32)) for _ in range(3)]
+        mb._drain_once()
+        for f in futs:
+            with pytest.raises(RuntimeError, match="device OOM"):
+                f.result(timeout=1)
+
+    def test_live_dispatcher_thread_end_to_end(self):
+        from tpu_deer.server import MicroBatcher
+
+        eng = _FakeEngine()
+        mb = MicroBatcher(eng, max_batch=32, max_wait_ms=20.0)
+        futs = [
+            mb.submit(np.full((1, 4), float(i), np.float32),
+                      np.zeros((1, 4), np.float32),
+                      np.zeros((1, 4), np.float32))
+            for i in range(6)
+        ]
+        outs = [f.result(timeout=5) for f in futs]
+        for i, o in enumerate(outs):
+            np.testing.assert_allclose(o["mu"], float(i))
+        assert sum(eng.calls) == 6
+        assert len(eng.calls) <= 6  # at least no worse than sequential
+        mb.close()
+        with pytest.raises(RuntimeError):
+            mb.submit(np.zeros((1, 4), np.float32),
+                      np.zeros((1, 4), np.float32),
+                      np.zeros((1, 4), np.float32))
+
+
+class TestMicroBatchService:
+    def test_service_with_micro_batching(self, tmp_path_factory):
+        model, params = create_complete_deer_model(SMALL, seed=0)
+        art = str(tmp_path_factory.mktemp("srv_mb"))
+        export_inference(model, params, art, batch_buckets=(1, 4))
+        service = PredictionService.from_exported(
+            art, micro_batch=True, max_wait_ms=5.0
+        )
+        plain = PredictionService.from_exported(art)
+        rng = np.random.default_rng(1)
+        feats = rng.standard_normal((2, 16)).tolist()
+        payload = {"audio": feats, "video": feats, "text": feats}
+
+        results = [None] * 4
+        def worker(i):
+            results[i] = service.predict_json(payload)
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads: t.start()
+        for t in threads: t.join(timeout=60)
+
+        ref = plain.predict_json(payload)
+        for r in results:
+            np.testing.assert_allclose(r["mu"], ref["mu"], atol=1e-5)
+        assert service.requests_served == 4
+        assert service.batcher.rows_dispatched == 8
+        service.batcher.close()

@@ -1,0 +1,123 @@
+"""Streaming recognizer tests: incremental features converge to the offline
+extractor, state is exact across resets, multi-stream rows are independent."""
+
+import numpy as np
+import pytest
+
+from tpu_deer.models.deer_model import DEERModelConfig, create_complete_deer_model
+from tpu_deer.ops.audio_frontend import (
+    AudioFrontendConfig,
+    extract_utterance_features,
+)
+from tpu_deer.stream import (
+    StreamingConfig,
+    StreamingRecognizer,
+    init_stream_state,
+    streaming_update,
+)
+
+FE = AudioFrontendConfig(n_fft=512, hop_length=128)
+SC = StreamingConfig(frontend=FE, chunk_samples=2048)
+
+
+def _speech_like(rng, seconds=2.0, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 140.0 + 40.0 * np.sin(2 * np.pi * 0.7 * t)
+    sig = np.zeros_like(t)
+    for h in range(1, 5):
+        sig += np.sin(2 * np.pi * h * np.cumsum(f0) / sr) / h
+    sig *= 0.5 + 0.5 * np.sin(2 * np.pi * 1.3 * t) ** 2  # energy modulation
+    return (sig + 0.05 * rng.normal(size=t.shape)).astype(np.float32)
+
+
+class TestStreamingFeatures:
+    def test_converges_to_offline_extractor(self, rng):
+        sig = _speech_like(rng, seconds=2.0)
+        n_chunks = len(sig) // SC.chunk_samples
+        state = init_stream_state(SC)
+        for i in range(n_chunks):
+            chunk = sig[i * SC.chunk_samples : (i + 1) * SC.chunk_samples]
+            state, feats = streaming_update(state, chunk, SC)
+        offline = np.asarray(
+            extract_utterance_features(sig[: n_chunks * SC.chunk_samples], FE)
+        )
+        feats = np.asarray(feats)
+        # Normalized 84-d vectors; streaming differs only in edge handling.
+        corr = np.corrcoef(feats, offline)[0, 1]
+        assert corr > 0.99, corr
+        assert np.abs(feats - offline).mean() < 0.1
+
+    def test_chunking_invariance(self, rng):
+        """Same audio split into different chunk counts → same final stats."""
+        sig = _speech_like(rng, seconds=1.0)
+        sig = sig[: 4 * SC.chunk_samples]
+
+        def run(chunk_samples):
+            sc = StreamingConfig(frontend=FE, chunk_samples=chunk_samples)
+            state = init_stream_state(sc)
+            for i in range(len(sig) // chunk_samples):
+                state, feats = streaming_update(
+                    state, sig[i * chunk_samples : (i + 1) * chunk_samples], sc
+                )
+            return np.asarray(feats)
+
+        np.testing.assert_allclose(run(2048), run(1024), atol=1e-4)
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError):
+            StreamingConfig(frontend=FE, chunk_samples=100)  # not hop multiple
+        with pytest.raises(ValueError):
+            StreamingConfig(frontend=FE, chunk_samples=128)  # < n_fft
+
+
+CFG = DEERModelConfig(
+    audio_dim=84, video_dim=8, text_dim=8, encoder_dim=16, fusion_dim=32,
+    attention_heads=2, encoder_layers=1,
+)
+
+
+@pytest.fixture(scope="module")
+def recognizer():
+    model, params = create_complete_deer_model(CFG, seed=0)
+    return StreamingRecognizer(model, params, n_streams=3, cfg=SC)
+
+
+class TestStreamingRecognizer:
+    def test_push_shapes(self, recognizer, rng):
+        chunks = rng.normal(size=(3, SC.chunk_samples)).astype(np.float32)
+        out = recognizer.push(chunks)
+        assert out["mu"].shape == (3, 3)
+        assert out["features"].shape == (3, 84)
+        assert np.all(np.isfinite(out["mu"]))
+        assert np.all(out["calibrated_uncertainty"] >= 0)
+
+    def test_streams_independent_and_reset(self, rng):
+        model, params = create_complete_deer_model(CFG, seed=0)
+        rec = StreamingRecognizer(model, params, n_streams=3, cfg=SC)
+        sig_a = _speech_like(rng, seconds=1.0)[: 2 * SC.chunk_samples]
+        sig_b = rng.normal(size=2 * SC.chunk_samples).astype(np.float32)
+
+        # Stream 0 gets A, streams 1,2 get B.
+        for i in range(2):
+            s = slice(i * SC.chunk_samples, (i + 1) * SC.chunk_samples)
+            out = rec.push(np.stack([sig_a[s], sig_b[s], sig_b[s]]))
+        # Identical inputs → identical rows; different input → different row.
+        np.testing.assert_allclose(
+            out["features"][1], out["features"][2], atol=1e-6
+        )
+        assert np.abs(out["features"][0] - out["features"][1]).max() > 1e-3
+
+        # Reset stream 1 only; replaying A from scratch on it must match
+        # stream 0's first-push result computed on a fresh recognizer.
+        rec.reset_streams([1])
+        fresh = StreamingRecognizer(model, params, n_streams=3, cfg=SC)
+        s0 = slice(0, SC.chunk_samples)
+        out_fresh = fresh.push(np.stack([sig_a[s0]] * 3))
+        out_replay = rec.push(np.stack([sig_b[s0], sig_a[s0], sig_b[s0]]))
+        np.testing.assert_allclose(
+            out_replay["features"][1], out_fresh["features"][0], atol=1e-5
+        )
+
+    def test_bad_shape_raises(self, recognizer):
+        with pytest.raises(ValueError):
+            recognizer.push(np.zeros((2, SC.chunk_samples), np.float32))

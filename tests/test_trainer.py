@@ -205,6 +205,28 @@ class TestTraining:
         meta = ckpt.metadata("best")
         assert "ccc_average" in meta["metrics"]
 
+    def test_async_checkpoint_identical_to_sync(self, tmp_path):
+        """async_save must be observationally identical: same files, same
+        restored values; the snapshot is taken at save() time, so later
+        (donating) train steps can't corrupt an in-flight write."""
+        train, val = _datasets()
+        trainer, cfg = _trainer(num_epochs=3)
+        ckpt = CheckpointManager(str(tmp_path / "a"), async_save=True)
+        trainer.train(train, val, checkpoints=ckpt)  # train() drains writes
+        assert ckpt.latest_step() is not None
+        meta = ckpt.metadata("best")
+        assert "ccc_average" in meta["metrics"]
+
+        restored = ckpt.restore(trainer.state)
+        import jax
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(trainer.state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ckpt.wait()  # idempotent on a drained queue
+
     def test_predict_shapes(self):
         train, val = _datasets()
         trainer, _ = _trainer(num_epochs=1)

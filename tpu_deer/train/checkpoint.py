@@ -9,6 +9,12 @@ weights only. This implementation makes the capability real:
   * best-metric and periodic policies, with pruning of stale periodic saves
   * exact resume: params, optimizer state, step counter, dropout RNG key,
     best-metric-so-far
+  * optional async writes (`async_save=True`): the device→host snapshot is
+    taken synchronously (so the checkpoint is consistent with the step that
+    requested it), but serialization, disk I/O, best-copy, and pruning run
+    on a single background worker — the train loop never stalls on disk.
+    Reads (`restore`/`all_steps`/`metadata`) and `wait()` drain the queue
+    first, so the async mode is observationally identical to sync.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Optional
 
 import flax.serialization
@@ -24,10 +31,22 @@ import numpy as np
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep_last: int = 3):
+    def __init__(self, directory: str, keep_last: int = 3,
+                 async_save: bool = False):
         self.directory = directory
         self.keep_last = keep_last
         os.makedirs(directory, exist_ok=True)
+        # One worker: writes land in request order, so best-copy/prune can't
+        # race an in-flight state write.
+        self._pool = ThreadPoolExecutor(max_workers=1) if async_save else None
+        self._pending: list = []
+
+    def wait(self) -> None:
+        """Block until every queued async write has hit disk (re-raises the
+        first worker exception, if any)."""
+        for fut in self._pending:
+            fut.result()
+        self._pending.clear()
 
     # -- paths -----------------------------------------------------------
     def _step_dir(self, step: int) -> str:
@@ -47,17 +66,32 @@ class CheckpointManager:
     ) -> str:
         """Serialize `state` (any pytree) + metadata. Returns the ckpt dir."""
         path = self._step_dir(step)
-        self._write(path, state, step, metrics)
-        if is_best:
-            if os.path.isdir(self.best_dir):
-                shutil.rmtree(self.best_dir)
-            shutil.copytree(path, self.best_dir)
-        self._prune()
+        # Snapshot on the caller thread: after device_get the bytes can't be
+        # mutated by subsequent (donating) train steps.
+        host_state = jax.device_get(state)
+
+        def commit():
+            self._write(path, host_state, step, metrics)
+            if is_best:
+                if os.path.isdir(self.best_dir):
+                    shutil.rmtree(self.best_dir)
+                shutil.copytree(path, self.best_dir)
+            self._prune()
+
+        if self._pool is None:
+            commit()
+        else:
+            # Surface any past worker failure at the next save, then drop
+            # the completed futures.
+            for f in [f for f in self._pending if f.done()]:
+                f.result()
+            self._pending = [f for f in self._pending if not f.done()]
+            self._pending.append(self._pool.submit(commit))
         return path
 
-    def _write(self, path: str, state: Any, step: int, metrics: Optional[dict]):
+    def _write(self, path: str, host_state: Any, step: int,
+               metrics: Optional[dict]):
         os.makedirs(path, exist_ok=True)
-        host_state = jax.device_get(state)
         with open(os.path.join(path, "state.msgpack"), "wb") as f:
             f.write(flax.serialization.to_bytes(host_state))
         meta = {"step": step, "metrics": _to_jsonable(metrics or {})}
@@ -71,6 +105,7 @@ class CheckpointManager:
 
     # -- restore ---------------------------------------------------------
     def all_steps(self) -> list[int]:
+        self.wait()
         out = []
         for name in os.listdir(self.directory):
             if name.startswith("step_"):
@@ -84,6 +119,7 @@ class CheckpointManager:
     def restore(self, template: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of `template` (an abstract or concrete
         state pytree). step=None → latest; step='best' → best checkpoint."""
+        self.wait()
         if step == "best":
             path = self.best_dir
         else:
@@ -99,6 +135,7 @@ class CheckpointManager:
         """Restore just the model parameters from a saved TrainState (for
         serving — no optimizer state needed). step=None → latest; 'best' →
         the best checkpoint."""
+        self.wait()
         if step == "best":
             path = self.best_dir
         else:
@@ -112,6 +149,7 @@ class CheckpointManager:
         return flax.serialization.from_state_dict(params_template, raw["params"])
 
     def metadata(self, step: Optional[int] = None) -> dict:
+        self.wait()
         if step == "best":
             path = self.best_dir
         else:

@@ -838,6 +838,8 @@ class DEERTrainer:
                 if patience >= cfg.early_stopping_patience:
                     break
 
+        if checkpoints is not None:
+            checkpoints.wait()  # drain async writes before reporting done
         return {
             "history": self.history,
             "best_val_ccc": float(best_ccc),
