@@ -99,18 +99,23 @@ class CheckpointManager:
             json.dump(meta, f, indent=2)
 
     def _prune(self):
-        steps = sorted(self.all_steps())
+        # NB: must NOT call all_steps() — that drains the async queue, and
+        # _prune runs ON the worker, so it would wait on its own future.
+        steps = self._list_steps()
         for step in steps[: -self.keep_last] if self.keep_last > 0 else []:
             shutil.rmtree(self._step_dir(step), ignore_errors=True)
 
-    # -- restore ---------------------------------------------------------
-    def all_steps(self) -> list[int]:
-        self.wait()
+    def _list_steps(self) -> list[int]:
         out = []
         for name in os.listdir(self.directory):
             if name.startswith("step_"):
                 out.append(int(name.split("_")[1]))
         return sorted(out)
+
+    # -- restore ---------------------------------------------------------
+    def all_steps(self) -> list[int]:
+        self.wait()
+        return self._list_steps()
 
     def latest_step(self) -> Optional[int]:
         steps = self.all_steps()
