@@ -85,3 +85,46 @@ class TestExport:
         (d / "manifest.json").write_text(json.dumps({"format": "other"}))
         with pytest.raises(ValueError, match="unrecognized export format"):
             load_exported(str(d))
+
+
+class TestQuantizedExport:
+    @pytest.fixture(scope="class")
+    def q_artifact(self, tmp_path_factory):
+        model, params = create_complete_deer_model(SMALL, seed=0)
+        out = str(tmp_path_factory.mktemp("export_q"))
+        manifest = export_inference(
+            model, params, out, batch_buckets=(1, 4), quantize=True
+        )
+        return out, model, params, manifest
+
+    def test_artifact_is_smaller_and_flagged(self, q_artifact, tmp_path):
+        out, model, params, manifest = q_artifact
+        assert manifest["quantized"] is True
+        f32_dir = str(tmp_path / "f32")
+        export_inference(model, params, f32_dir, batch_buckets=(1, 4))
+        q_size = os.path.getsize(os.path.join(out, "params.npz"))
+        f_size = os.path.getsize(os.path.join(f32_dir, "params.npz"))
+        # This tiny test config has proportionally more non-quantizable
+        # leaves (biases/norms/<8-row kernels stay f32) than the flagship,
+        # so the bound is looser here; the flagship payload shrinks ~4x.
+        assert q_size < 0.55 * f_size
+
+    def test_roundtrip_close_to_float(self, q_artifact, rng):
+        out, model, params, _ = q_artifact
+        import jax.numpy as jnp
+
+        engine = load_exported(out)
+        a, v, t = (rng.normal(size=(4, 16)).astype(np.float32)
+                   for _ in range(3))
+        got = engine.predict(a, v, t)
+        ref = model.apply(
+            {"params": params},
+            jnp.asarray(a), jnp.asarray(v), jnp.asarray(t),
+            deterministic=True,
+        )
+        np.testing.assert_allclose(
+            got["mu"], np.asarray(ref["mu_all"]), atol=0.05
+        )
+        # int8 payload actually landed in the artifact
+        flat = dict(np.load(os.path.join(out, "params.npz")))
+        assert any(val.dtype == np.int8 for val in flat.values())

@@ -31,13 +31,17 @@ def running_server(tmp_path_factory):
     server.shutdown()
 
 
-def _post(url, payload):
+def _post_path(url, path, payload):
     req = urllib.request.Request(
-        url + "/predict", data=json.dumps(payload).encode(),
+        url + path, data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
-    with urllib.request.urlopen(req, timeout=30) as r:
+    with urllib.request.urlopen(req, timeout=120) as r:
         return json.loads(r.read())
+
+
+def _post(url, payload):
+    return _post_path(url, "/predict", payload)
 
 
 class TestServer:
@@ -197,3 +201,104 @@ class TestMicroBatchService:
         assert service.requests_served == 4
         assert service.batcher.rows_dispatched == 8
         service.batcher.close()
+
+
+class TestStreamingSessions:
+    @pytest.fixture(scope="class")
+    def stream_server(self):
+        from tpu_deer.ops.audio_frontend import AudioFrontendConfig
+        from tpu_deer.serve import InferenceEngine
+        from tpu_deer.server import StreamingSessionService
+        from tpu_deer.stream import StreamingConfig
+
+        import dataclasses
+
+        cfg = dataclasses.replace(SMALL, audio_dim=84)
+        model, params = create_complete_deer_model(cfg, seed=0)
+        sc = StreamingConfig(
+            frontend=AudioFrontendConfig(n_fft=512, hop_length=128),
+            chunk_samples=2048,
+        )
+        streaming = StreamingSessionService(
+            model, params, n_streams=2, stream_cfg=sc, max_wait_ms=5.0
+        )
+        engine = InferenceEngine(model, params, batch_buckets=(1,))
+        service = PredictionService(
+            engine, (84, cfg.video_dim, cfg.text_dim), streaming=streaming
+        )
+        server = serve(service, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{server.server_address[1]}", service, sc
+        server.shutdown()
+        streaming.close()
+
+    def test_session_lifecycle_over_http(self, stream_server, rng):
+        import base64
+
+        url, service, sc = stream_server
+        sid = _post_path(url, "/stream/start", {"video": [0.0] * 16})["session_id"]
+        chunk = rng.normal(size=sc.chunk_samples).astype(np.float32)
+
+        # float-list push
+        out = _post_path(url, "/stream/push",
+                         {"session_id": sid, "audio": chunk.tolist()})
+        assert np.asarray(out["mu"]).shape == (3,)
+        assert np.all(np.isfinite(out["mu"]))
+
+        # pcm16 push
+        pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+        out2 = _post_path(url, "/stream/push", {
+            "session_id": sid,
+            "pcm16_b64": base64.b64encode(pcm).decode(),
+        })
+        assert np.asarray(out2["mu"]).shape == (3,)
+
+        health = json.loads(
+            urllib.request.urlopen(url + "/healthz", timeout=30).read()
+        )
+        assert health["stream_sessions"] == 1
+        assert health["stream_ticks"] >= 2
+
+        assert _post_path(url, "/stream/end", {"session_id": sid})["ended"]
+        health = json.loads(
+            urllib.request.urlopen(url + "/healthz", timeout=30).read()
+        )
+        assert health["stream_sessions"] == 0
+
+    def test_slot_exhaustion_and_unknown_session(self, stream_server):
+        url, service, sc = stream_server
+        sids = [_post_path(url, "/stream/start", {})["session_id"] for _ in range(2)]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(url, "/stream/start", {})
+        assert "no free stream slots" in json.loads(e.value.read())["error"]
+        for sid in sids:
+            _post_path(url, "/stream/end", {"session_id": sid})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(url, "/stream/push",
+                       {"session_id": "nope", "audio": [0.0] * sc.chunk_samples})
+        assert e.value.code == 400
+
+    def test_concurrent_sessions_coalesce_and_stay_isolated(
+        self, stream_server, rng
+    ):
+        url, service, sc = stream_server
+        sid_a = _post_path(url, "/stream/start", {})["session_id"]
+        sid_b = _post_path(url, "/stream/start", {})["session_id"]
+        chunk = rng.normal(size=sc.chunk_samples).astype(np.float32).tolist()
+
+        outs = {}
+        def push(sid, key):
+            outs[key] = _post_path(
+                url, "/stream/push", {"session_id": sid, "audio": chunk}
+            )
+        threads = [
+            threading.Thread(target=push, args=(sid_a, "a")),
+            threading.Thread(target=push, args=(sid_b, "b")),
+        ]
+        for t in threads: t.start()
+        for t in threads: t.join(timeout=120)
+        # Same audio, same (fresh) state → identical predictions.
+        np.testing.assert_allclose(outs["a"]["mu"], outs["b"]["mu"], atol=1e-5)
+        for sid in (sid_a, sid_b):
+            _post_path(url, "/stream/end", {"session_id": sid})

@@ -121,3 +121,37 @@ class TestStreamingRecognizer:
     def test_bad_shape_raises(self, recognizer):
         with pytest.raises(ValueError):
             recognizer.push(np.zeros((2, SC.chunk_samples), np.float32))
+
+
+class TestMaskedPush:
+    def test_inactive_slots_keep_state(self, rng):
+        model, params = create_complete_deer_model(CFG, seed=0)
+        rec = StreamingRecognizer(model, params, n_streams=3, cfg=SC)
+        sig = _speech_like(rng, seconds=1.0)[: 2 * SC.chunk_samples]
+        c0 = sig[: SC.chunk_samples]
+        c1 = sig[SC.chunk_samples :]
+
+        out0 = rec.push(np.stack([c0, c0, c0]))
+        # Tick 2: only stream 0 consumes; 1 and 2 are inactive.
+        out1 = rec.push(
+            np.stack([c1, c1, c1]),
+            active=np.array([True, False, False]),
+        )
+        # Inactive streams' features are unchanged from tick 1.
+        np.testing.assert_allclose(
+            out1["features"][1], out0["features"][1], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            out1["features"][2], out0["features"][2], atol=1e-6
+        )
+        # The active stream advanced.
+        assert np.abs(out1["features"][0] - out0["features"][0]).max() > 1e-3
+        # Stream 1 consuming c1 later matches what stream 0 got at tick 2
+        # (same audio, different arrival ticks).
+        out2 = rec.push(
+            np.stack([c1, c1, c1]),
+            active=np.array([False, True, False]),
+        )
+        np.testing.assert_allclose(
+            out2["features"][1], out1["features"][0], atol=1e-5
+        )

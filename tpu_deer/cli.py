@@ -521,6 +521,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(datasets.raw_root in the config, or a generated "
                         "fixture)")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="--mode export: bake the int8 serving path into "
+                        "the artifact (4x smaller params, dequant fused "
+                        "into the exported StableHLO)")
     return p
 
 
@@ -604,10 +608,13 @@ def main(argv=None) -> int:
         from tpu_deer.export import export_inference
 
         out_dir = os.path.join(args.output_dir, "exported_model")
-        manifest = export_inference(pipeline.model, params, out_dir)
+        manifest = export_inference(
+            pipeline.model, params, out_dir, quantize=args.int8
+        )
         print(json.dumps(
             {"export_dir": out_dir,
-             **{k: manifest[k] for k in ("buckets", "platforms", "n_params")}},
+             **{k: manifest[k]
+                for k in ("buckets", "platforms", "n_params", "quantized")}},
             indent=2,
         ))
     return 0

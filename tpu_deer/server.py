@@ -10,6 +10,19 @@ standard library:
                       "calibrated_uncertainty": ..}
   GET  /healthz   -> {"status": "ok", "requests_served": N}
 
+With `--stream_slots N` (checkpoint source), live audio sessions:
+
+  POST /stream/start {"video": [..]?, "text": [..]?} -> {"session_id": ..}
+  POST /stream/push  {"session_id": .., "audio": [chunk floats]} (or
+                     "pcm16_b64": base64 int16 LE PCM)
+                     -> {"mu": [v,a,d], "uncertainty": ..,
+                         "calibrated_uncertainty": ..}
+  POST /stream/end   {"session_id": ..} -> {"ended": true}
+
+Concurrent session pushes coalesce into one shared recognizer tick (the
+StreamingSessionService dispatcher sets the active-slot mask), so N live
+sessions cost one device dispatch per tick.
+
 Run:
   python -m tpu_deer.server --checkpoint <ckpt_dir> --port 8571
   python -m tpu_deer.server --exported <export_dir> --port 8571
@@ -140,12 +153,162 @@ class MicroBatcher:
         return rows
 
 
+class StreamingSessionService:
+    """Live audio sessions over HTTP, coalesced into shared device ticks.
+
+    Each session owns one slot of a `StreamingRecognizer`. Client pushes
+    (one fixed-size PCM chunk per call) enqueue; a dispatcher thread drains
+    them into ONE recognizer tick with the active-slot mask set — so N
+    concurrent sessions cost one device dispatch per tick, not N. A slot's
+    second push in the same drain is deferred a tick to keep per-session
+    chunk order.
+
+    Routes (see make_handler):
+      POST /stream/start {"video": [..]?, "text": [..]?} -> {"session_id"}
+      POST /stream/push  {"session_id", "audio": [chunk floats]} or
+                         {"session_id", "pcm16_b64": base64 int16 LE}
+                         -> {"mu", "uncertainty", "calibrated_uncertainty"}
+      POST /stream/end   {"session_id"} -> {"ended": true}
+    """
+
+    def __init__(self, model, params, n_streams: int = 64,
+                 stream_cfg=None, max_wait_ms: float = 10.0):
+        from tpu_deer.stream import StreamingConfig, StreamingRecognizer
+
+        self.cfg = stream_cfg or StreamingConfig()
+        self.rec = StreamingRecognizer(
+            model, params, n_streams=n_streams, cfg=self.cfg
+        )
+        self.n_streams = n_streams
+        self.chunk_samples = self.cfg.chunk_samples
+        mcfg = model.config
+        self._video = np.zeros((n_streams, mcfg.video_dim), np.float32)
+        self._text = np.zeros((n_streams, mcfg.text_dim), np.float32)
+        self.lock = threading.Lock()
+        self.sessions: dict[str, int] = {}
+        self._free = list(range(n_streams - 1, -1, -1))
+        self.max_wait_s = max_wait_ms / 1e3
+        self.ticks = 0
+        self.queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- session lifecycle ----------------------------------------------
+    def start(self, video=None, text=None) -> str:
+        import uuid
+
+        with self.lock:
+            if not self._free:
+                raise ValueError(
+                    f"no free stream slots (capacity {self.n_streams})"
+                )
+            slot = self._free.pop()
+            sid = uuid.uuid4().hex[:16]
+            self.sessions[sid] = slot
+            if video is not None:
+                self._video[slot] = video
+            if text is not None:
+                self._text[slot] = text
+        return sid
+
+    def end(self, sid: str) -> None:
+        with self.lock:
+            slot = self.sessions.pop(sid, None)
+            if slot is None:
+                raise ValueError(f"unknown session {sid!r}")
+            self._video[slot] = 0.0
+            self._text[slot] = 0.0
+            self._free.append(slot)
+        self.rec.reset_streams([slot])
+
+    def push(self, sid: str, chunk: np.ndarray) -> dict:
+        with self.lock:
+            slot = self.sessions.get(sid)
+        if slot is None:
+            raise ValueError(f"unknown session {sid!r}")
+        if chunk.shape != (self.chunk_samples,):
+            raise ValueError(
+                f"audio chunk must be [{self.chunk_samples}] samples, "
+                f"got {list(chunk.shape)}"
+            )
+        fut: Future = Future()
+        self.queue.put((slot, chunk.astype(np.float32), fut))
+        return fut.result(timeout=120.0)
+
+    def close(self):
+        self._closed = True
+        self.queue.put(None)
+        self._thread.join(timeout=5.0)
+
+    # -- tick dispatcher -------------------------------------------------
+    def _loop(self):
+        while True:
+            item = self.queue.get()
+            if item is None:
+                return
+            self._tick(first=item)
+
+    def _tick(self, first=None):
+        """Drain one coalesced tick (≤1 chunk per slot) and dispatch it."""
+        import time as _time
+
+        if first is None:
+            first = self.queue.get()
+            if first is None:
+                return 0
+        batch = {first[0]: first}
+        deferred = []
+        deadline = _time.monotonic() + self.max_wait_s
+        while len(batch) < self.n_streams:
+            remaining = deadline - _time.monotonic()
+            try:
+                item = (
+                    self.queue.get_nowait()
+                    if remaining <= 0
+                    else self.queue.get(timeout=remaining)
+                )
+            except queue.Empty:
+                break
+            if item is None:
+                self.queue.put(None)
+                break
+            if item[0] in batch:  # same slot twice: next tick, keep order
+                deferred.append(item)
+                break
+            batch[item[0]] = item
+        for item in reversed(deferred):
+            self.queue.put(item)
+        chunks = np.zeros((self.n_streams, self.chunk_samples), np.float32)
+        active = np.zeros(self.n_streams, bool)
+        for slot, (_, chunk, _) in batch.items():
+            chunks[slot] = chunk
+            active[slot] = True
+        try:
+            with self.lock:
+                video, text = self._video.copy(), self._text.copy()
+            out = self.rec.push(chunks, video=video, text=text, active=active)
+            self.ticks += 1
+            for slot, (_, _, fut) in batch.items():
+                fut.set_result(
+                    {
+                        k: out[k][slot].tolist()
+                        for k in ("mu", "uncertainty", "calibrated_uncertainty")
+                    }
+                )
+        except Exception as e:  # noqa: BLE001
+            for _, _, fut in batch.values():
+                if not fut.done():
+                    fut.set_exception(e)
+        return len(batch)
+
+
 class PredictionService:
     """Engine wrapper with input validation and request accounting."""
 
     def __init__(self, engine, dims: tuple[int, int, int],
                  micro_batch: bool = False, max_batch: int = 256,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, streaming=None):
         self.engine = engine
         self.dims = dims
         self.lock = threading.Lock()
@@ -155,11 +318,13 @@ class PredictionService:
             if micro_batch
             else None
         )
+        self.streaming: Optional[StreamingSessionService] = streaming
 
     _SERVICE_KW = ("micro_batch", "max_batch", "max_wait_ms")
 
     @classmethod
-    def from_checkpoint(cls, checkpoint_dir: str, config=None, **kwargs):
+    def from_checkpoint(cls, checkpoint_dir: str, config=None,
+                        stream_slots: int = 0, **kwargs):
         from tpu_deer.models.deer_model import DEERModelConfig
         from tpu_deer.serve import InferenceEngine
 
@@ -168,9 +333,27 @@ class PredictionService:
         engine = InferenceEngine.from_checkpoint(
             checkpoint_dir, config=config, **kwargs
         )
+        streaming = None
+        if stream_slots:
+            params = engine.params
+            if engine.quantized:
+                import jax
+
+                from tpu_deer.ops.quantization import dequantize_tree
+
+                params = dequantize_tree(*jax.device_get(params))
+            if config.audio_dim != 84:
+                raise ValueError(
+                    "streaming sessions need the 84-d audio feature model "
+                    f"(audio_dim={config.audio_dim})"
+                )
+            streaming = StreamingSessionService(
+                engine.model, params, n_streams=stream_slots
+            )
         return cls(
             engine,
             (config.audio_dim, config.video_dim, config.text_dim),
+            streaming=streaming,
             **svc_kw,
         )
 
@@ -217,6 +400,40 @@ class PredictionService:
         }
 
 
+def _require_sid(payload: dict) -> str:
+    sid = payload.get("session_id")
+    if not isinstance(sid, str):
+        raise ValueError("missing field 'session_id'")
+    return sid
+
+
+def _opt_vec(payload: dict, name: str, dim: int):
+    if name not in payload:
+        return None
+    vec = np.asarray(payload[name], np.float32).reshape(-1)
+    if vec.shape != (dim,):
+        raise ValueError(f"{name} must be [{dim}], got {list(vec.shape)}")
+    if not np.all(np.isfinite(vec)):
+        raise ValueError(f"{name} contains non-finite values")
+    return vec
+
+
+def _decode_chunk(payload: dict) -> np.ndarray:
+    """'audio' (JSON float list) or 'pcm16_b64' (base64 int16 LE)."""
+    if "pcm16_b64" in payload:
+        import base64
+
+        raw = base64.b64decode(payload["pcm16_b64"], validate=True)
+        pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        return pcm
+    if "audio" in payload:
+        chunk = np.asarray(payload["audio"], np.float32).reshape(-1)
+        if not np.all(np.isfinite(chunk)):
+            raise ValueError("audio contains non-finite values")
+        return chunk
+    raise ValueError("missing field 'audio' (or 'pcm16_b64')")
+
+
 def make_handler(service: PredictionService):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -238,12 +455,22 @@ def make_handler(service: PredictionService):
                         service.batcher.batches_dispatched
                     )
                     stats["micro_batch_rows"] = service.batcher.rows_dispatched
+                if service.streaming is not None:
+                    stats["stream_sessions"] = len(service.streaming.sessions)
+                    stats["stream_slots"] = service.streaming.n_streams
+                    stats["stream_ticks"] = service.streaming.ticks
+                    stats["stream_chunk_samples"] = (
+                        service.streaming.chunk_samples
+                    )
                 self._reply(200, stats)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            routes = {"/predict"}
+            if service.streaming is not None:
+                routes |= {"/stream/start", "/stream/push", "/stream/end"}
+            if self.path not in routes:
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -252,7 +479,20 @@ def make_handler(service: PredictionService):
                 return
             try:
                 payload = json.loads(self.rfile.read(length))
-                result = service.predict_json(payload)
+                if self.path == "/predict":
+                    result = service.predict_json(payload)
+                elif self.path == "/stream/start":
+                    result = {"session_id": service.streaming.start(
+                        video=_opt_vec(payload, "video", service.dims[1]),
+                        text=_opt_vec(payload, "text", service.dims[2]),
+                    )}
+                elif self.path == "/stream/push":
+                    result = service.streaming.push(
+                        _require_sid(payload), _decode_chunk(payload)
+                    )
+                else:  # /stream/end
+                    service.streaming.end(_require_sid(payload))
+                    result = {"ended": True}
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
                 return
@@ -285,6 +525,9 @@ def main(argv=None) -> int:
                    help="skip pre-compiling the batch buckets at startup")
     p.add_argument("--micro_batch", action="store_true",
                    help="coalesce concurrent requests into one dispatch")
+    p.add_argument("--stream_slots", type=int, default=0,
+                   help="enable /stream/* live-session routes with this "
+                        "many concurrent slots (checkpoint source only)")
     p.add_argument("--max_batch", type=int, default=256,
                    help="micro-batching: max coalesced rows per dispatch")
     p.add_argument("--max_wait_ms", type=float, default=2.0,
@@ -295,10 +538,14 @@ def main(argv=None) -> int:
     mb = dict(micro_batch=args.micro_batch, max_batch=args.max_batch,
               max_wait_ms=args.max_wait_ms)
     if args.checkpoint:
-        service = PredictionService.from_checkpoint(args.checkpoint, **mb)
+        service = PredictionService.from_checkpoint(
+            args.checkpoint, stream_slots=args.stream_slots, **mb
+        )
         if not args.no_warmup:
             service.engine.warmup()
     else:
+        if args.stream_slots:
+            p.error("--stream_slots requires --checkpoint (needs the model)")
         service = PredictionService.from_exported(args.exported, **mb)
 
     server = serve(service, args.host, args.port)

@@ -267,10 +267,18 @@ class StreamingRecognizer:
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), self._init_one
         )
 
-        def step(params, state, chunks, video, text):
-            state, feats = jax.vmap(
+        def step(params, state, chunks, video, text, active):
+            new_state, feats = jax.vmap(
                 lambda s, c: streaming_update(s, c, cfg)
             )(state, chunks)
+            # Inactive slots pass through untouched (their chunk input is
+            # ignored) — sessions advance independently even though every
+            # dispatch carries all S slots.
+            sel = lambda old, new: jnp.where(
+                active.reshape((n_streams,) + (1,) * (old.ndim - 1)), new, old
+            )
+            state = jax.tree_util.tree_map(sel, state, new_state)
+            feats = jax.vmap(_features_from_state)(state)
             out = model.apply(
                 {"params": params}, feats, video, text, deterministic=True
             )
@@ -306,9 +314,13 @@ class StreamingRecognizer:
         chunks: np.ndarray,
         video: Optional[np.ndarray] = None,
         text: Optional[np.ndarray] = None,
+        active: Optional[np.ndarray] = None,
     ) -> dict[str, np.ndarray]:
         """chunks [n_streams, chunk_samples] → per-stream predictions.
 
+        `active` ([S] bool, default all-true) selects which slots consume
+        their chunk this tick; inactive slots keep their state (their
+        outputs are still returned, computed from the unchanged state).
         Returns features [S, 84], mu [S, 3], raw + calibrated uncertainty.
         """
         S = self.n_streams
@@ -322,11 +334,14 @@ class StreamingRecognizer:
             video = np.zeros((S, mcfg.video_dim), np.float32)
         if text is None:
             text = np.zeros((S, mcfg.text_dim), np.float32)
+        if active is None:
+            active = np.ones(S, bool)
         self.state, out = self._step(
             self.params,
             self.state,
             jnp.asarray(chunks, jnp.float32),
             jnp.asarray(video, jnp.float32),
             jnp.asarray(text, jnp.float32),
+            jnp.asarray(active, bool),
         )
         return {k: np.asarray(v) for k, v in out.items()}
