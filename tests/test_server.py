@@ -302,3 +302,142 @@ class TestStreamingSessions:
         np.testing.assert_allclose(outs["a"]["mu"], outs["b"]["mu"], atol=1e-5)
         for sid in (sid_a, sid_b):
             _post_path(url, "/stream/end", {"session_id": sid})
+
+
+class TestReviewFixes:
+    """Regression tests for the dispatcher-ordering/race review findings."""
+
+    def test_micro_batcher_never_exceeds_max_batch(self):
+        from tpu_deer.server import MicroBatcher
+
+        eng = _FakeEngine()
+        mb = MicroBatcher(eng, max_batch=4, max_wait_ms=1.0, start=False)
+        futs = [
+            mb.submit(np.full((3, 4), float(i), np.float32),
+                      np.zeros((3, 4), np.float32),
+                      np.zeros((3, 4), np.float32))
+            for i in range(2)
+        ]
+        assert mb._drain_once() == 3  # 3+3 > 4: second request deferred
+        assert mb._drain_once() == 3
+        assert eng.calls == [3, 3]
+        # Order preserved across the deferral.
+        np.testing.assert_allclose(futs[0].result(timeout=1)["mu"], 0.0)
+        np.testing.assert_allclose(futs[1].result(timeout=1)["mu"], 1.0)
+
+    def test_micro_batcher_close_fails_queued_requests(self):
+        from tpu_deer.server import MicroBatcher
+
+        mb = MicroBatcher(_FakeEngine(), start=False)
+        fut = mb.submit(np.zeros((1, 4), np.float32),
+                        np.zeros((1, 4), np.float32),
+                        np.zeros((1, 4), np.float32))
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            fut.result(timeout=1)
+
+    @pytest.fixture()
+    def manual_service(self):
+        import dataclasses
+
+        from tpu_deer.ops.audio_frontend import AudioFrontendConfig
+        from tpu_deer.server import StreamingSessionService
+        from tpu_deer.stream import StreamingConfig
+
+        cfg = dataclasses.replace(SMALL, audio_dim=84)
+        model, params = create_complete_deer_model(cfg, seed=0)
+        sc = StreamingConfig(
+            frontend=AudioFrontendConfig(n_fft=512, hop_length=128),
+            chunk_samples=2048,
+        )
+        return StreamingSessionService(
+            model, params, n_streams=2, stream_cfg=sc, max_wait_ms=1.0,
+            start=False,
+        )
+
+    def test_same_session_pushes_keep_order_across_deferral(
+        self, manual_service, rng
+    ):
+        from concurrent.futures import Future
+
+        svc = manual_service
+        sid = svc.start()
+        other = svc.start()
+        c = [rng.normal(size=svc.chunk_samples).astype(np.float32)
+             for _ in range(3)]
+        f1 = svc._enqueue(("push", sid, c[0], Future()))
+        f2 = svc._enqueue(("push", sid, c[1], Future()))   # same sid: defers
+        f3 = svc._enqueue(("push", other, c[2], Future()))
+        fe = svc._enqueue(("end", sid, None, Future()))
+
+        assert svc._tick() == 1      # c[0] alone (c[1] deferred to carry)
+        assert f1.result(timeout=1)
+        assert not f2.done()
+        assert svc._tick() >= 1      # carried c[1] first — order preserved
+        assert f2.done() and not fe.done()
+        while not fe.done():
+            svc._tick()              # drain other push + the end
+        assert f3.result(timeout=1)
+        assert fe.result(timeout=1) is True
+        assert len(svc.sessions) == 1  # sid gone, other remains
+
+        # Replaying the same audio on a fresh slot gives the same features
+        # as the slot's first occupant saw — proof the end reset the state
+        # before the slot was reusable.
+        sid2 = svc.start()
+        g1 = svc._enqueue(("push", sid2, c[0], Future()))
+        svc._tick()
+        r_new = g1.result(timeout=1)
+        from tpu_deer.server import StreamingSessionService
+
+        fresh = StreamingSessionService(
+            svc.rec.model, svc.rec.params, n_streams=2, stream_cfg=svc.cfg,
+            max_wait_ms=1.0, start=False,
+        )
+        sidf = fresh.start()
+        gf = fresh._enqueue(("push", sidf, c[0], Future()))
+        fresh._tick()
+        np.testing.assert_allclose(
+            r_new["mu"], gf.result(timeout=1)["mu"], atol=1e-5
+        )
+
+    def test_push_for_session_ended_while_queued_fails_cleanly(
+        self, manual_service, rng
+    ):
+        from concurrent.futures import Future
+
+        svc = manual_service
+        sid = svc.start()
+        chunk = rng.normal(size=svc.chunk_samples).astype(np.float32)
+        fe = svc._enqueue(("end", sid, None, Future()))
+        fp = svc._enqueue(("push", sid, chunk, Future()))
+        svc._tick()  # end processed first (queue order)
+        assert fe.result(timeout=1) is True
+        svc._tick()  # push now targets a dead session
+        with pytest.raises(ValueError, match="unknown session"):
+            fp.result(timeout=1)
+
+    def test_reset_streams_empty_is_noop(self, rng):
+        import dataclasses
+
+        from tpu_deer.ops.audio_frontend import AudioFrontendConfig
+        from tpu_deer.stream import StreamingConfig, StreamingRecognizer
+
+        cfg = dataclasses.replace(SMALL, audio_dim=84)
+        model, params = create_complete_deer_model(cfg, seed=0)
+        sc = StreamingConfig(
+            frontend=AudioFrontendConfig(n_fft=512, hop_length=128),
+            chunk_samples=2048,
+        )
+        rec = StreamingRecognizer(model, params, n_streams=2, cfg=sc)
+        rec.reset_streams([])  # must not raise
+
+    def test_streaming_config_rejects_too_few_frames_per_chunk(self):
+        from tpu_deer.ops.audio_frontend import AudioFrontendConfig
+        from tpu_deer.stream import StreamingConfig
+
+        with pytest.raises(ValueError, match="frames/chunk"):
+            StreamingConfig(
+                frontend=AudioFrontendConfig(n_fft=1024, hop_length=256),
+                chunk_samples=1024,  # only 4 frames < delta_width-1 = 8
+            )

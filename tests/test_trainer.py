@@ -581,3 +581,30 @@ class TestFrozenParams:
             )
         )
         assert moved
+
+
+def test_async_checkpoint_wait_drains_after_failure(tmp_path, monkeypatch):
+    """A failed async write surfaces once, then the queue is clean — wait()
+    must drain everything even when an early future raised."""
+    import jax.numpy as jnp
+
+    ckpt = CheckpointManager(str(tmp_path / "c"), async_save=True)
+    state = {"w": jnp.ones(4)}
+    real_write = ckpt._write
+    calls = {"n": 0}
+
+    def flaky_write(path, host_state, step, metrics):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk full")
+        return real_write(path, host_state, step, metrics)
+
+    monkeypatch.setattr(ckpt, "_write", flaky_write)
+    ckpt.save(state, step=1)
+    ckpt._pool.submit(lambda: None).result()  # let the flaky write finish
+    # The failure surfaces exactly once — at the next save — and the new
+    # save is enqueued before the raise, so it is not lost.
+    with pytest.raises(OSError, match="disk full"):
+        ckpt.save(state, step=2)
+    ckpt.wait()  # drained: no stale exception re-raised
+    assert ckpt.all_steps() == [2]

@@ -81,45 +81,86 @@ class MicroBatcher:
         self.batches_dispatched = 0
         self.rows_dispatched = 0
         self._closed = False
+        self._close_lock = threading.Lock()
+        # Items deferred by the dispatcher (max_batch overshoot). Processed
+        # BEFORE new queue items, so request order is preserved. Dispatcher-
+        # thread-only — no lock.
+        self._carry: list = []
         self._thread = None
         if start:
             self._thread = threading.Thread(target=self._loop, daemon=True)
             self._thread.start()
 
     def submit(self, audio, video, text) -> Future:
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self.queue.put((audio, video, text, fut))
+        # The closed-check and the put must be atomic vs close(): otherwise
+        # an item can land behind the shutdown sentinel and its future would
+        # never resolve (the caller would hang until its wait timeout).
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self.queue.put((audio, video, text, fut))
         return fut
 
     def close(self):
-        self._closed = True
-        self.queue.put(None)  # wake the dispatcher
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self.queue.put(None)  # wake the dispatcher
         if self._thread is not None:
-            self._thread.join(timeout=5.0)
+            self._thread.join(timeout=30.0)
+        self._fail_pending(RuntimeError("MicroBatcher is closed"))
+
+    def _fail_pending(self, exc: Exception):
+        """Fail every future still queued/carried (shutdown path)."""
+        leftovers = list(self._carry)
+        self._carry.clear()
+        while True:
+            try:
+                item = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                leftovers.append(item)
+        for *_, fut in leftovers:
+            if not fut.done():
+                fut.set_exception(exc)
 
     # -- dispatcher ------------------------------------------------------
     def _loop(self):
         while True:
-            item = self.queue.get()
-            if item is None:
+            if not self._carry:
+                item = self.queue.get()
+                if item is None:
+                    return  # close() fails any leftovers after join
+                self._carry.append(item)
+            if self._drain_once() < 0:
                 return
-            self._drain_once(first=item)
 
-    def _drain_once(self, first=None):
-        """Collect one coalesced batch (starting from `first`, or blocking
-        for the next request) and dispatch it. Returns rows dispatched."""
+    def _drain_once(self):
+        """Collect one coalesced batch (carry first, then the queue) and
+        dispatch it. Returns rows dispatched, or -1 after the shutdown
+        sentinel."""
         import time
 
-        if first is None:
-            first = self.queue.get()
-            if first is None:
-                return 0
-        batch = [first]
-        rows = len(first[0])
+        if not self._carry:
+            item = self.queue.get()
+            if item is None:
+                return -1
+            self._carry.append(item)
+        # The head request is taken unconditionally (a single request larger
+        # than max_batch still runs; bucketed_predict chunks it). Further
+        # requests are added only while the total stays within max_batch.
+        batch = [self._carry.pop(0)]
+        rows = len(batch[0][0])
+        while self._carry and rows + len(self._carry[0][0]) <= self.max_batch:
+            item = self._carry.pop(0)
+            batch.append(item)
+            rows += len(item[0])
+        saw_sentinel = False
         deadline = time.monotonic() + self.max_wait_s
-        while rows < self.max_batch:
+        while rows < self.max_batch and not self._carry:
             remaining = deadline - time.monotonic()
             try:
                 item = (
@@ -130,7 +171,10 @@ class MicroBatcher:
             except queue.Empty:
                 break
             if item is None:  # close() sentinel: dispatch what we have
-                self.queue.put(None)
+                saw_sentinel = True
+                break
+            if rows + len(item[0]) > self.max_batch:
+                self._carry.append(item)  # next batch, order preserved
                 break
             batch.append(item)
             rows += len(item[0])
@@ -150,7 +194,7 @@ class MicroBatcher:
             for *_, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
-        return rows
+        return -1 if saw_sentinel else rows
 
 
 class StreamingSessionService:
@@ -163,6 +207,12 @@ class StreamingSessionService:
     second push in the same drain is deferred a tick to keep per-session
     chunk order.
 
+    Concurrency model: ALL recognizer-state mutations (ticks AND session
+    end/reset) run on the dispatcher thread, in queue order. A slot is
+    freed only when its "end" request is processed, so a slot cannot be
+    reassigned while chunks for its previous session are still queued, and
+    an end can never race a tick. sid→slot is resolved at dispatch time.
+
     Routes (see make_handler):
       POST /stream/start {"video": [..]?, "text": [..]?} -> {"session_id"}
       POST /stream/push  {"session_id", "audio": [chunk floats]} or
@@ -172,7 +222,8 @@ class StreamingSessionService:
     """
 
     def __init__(self, model, params, n_streams: int = 64,
-                 stream_cfg=None, max_wait_ms: float = 10.0):
+                 stream_cfg=None, max_wait_ms: float = 10.0,
+                 start: bool = True):
         from tpu_deer.stream import StreamingConfig, StreamingRecognizer
 
         self.cfg = stream_cfg or StreamingConfig()
@@ -190,9 +241,13 @@ class StreamingSessionService:
         self.max_wait_s = max_wait_ms / 1e3
         self.ticks = 0
         self.queue: "queue.Queue" = queue.Queue()
+        self._carry: list = []  # dispatcher-thread-only deferred items
         self._closed = False
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._close_lock = threading.Lock()
+        self._thread = None
+        if start:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
 
     # -- session lifecycle ----------------------------------------------
     def start(self, video=None, text=None) -> str:
@@ -214,53 +269,101 @@ class StreamingSessionService:
 
     def end(self, sid: str) -> None:
         with self.lock:
-            slot = self.sessions.pop(sid, None)
-            if slot is None:
+            if sid not in self.sessions:
                 raise ValueError(f"unknown session {sid!r}")
-            self._video[slot] = 0.0
-            self._text[slot] = 0.0
-            self._free.append(slot)
-        self.rec.reset_streams([slot])
+        self._enqueue(("end", sid, None, Future())).result(timeout=120.0)
 
     def push(self, sid: str, chunk: np.ndarray) -> dict:
         with self.lock:
-            slot = self.sessions.get(sid)
-        if slot is None:
-            raise ValueError(f"unknown session {sid!r}")
+            if sid not in self.sessions:
+                raise ValueError(f"unknown session {sid!r}")
         if chunk.shape != (self.chunk_samples,):
             raise ValueError(
                 f"audio chunk must be [{self.chunk_samples}] samples, "
                 f"got {list(chunk.shape)}"
             )
-        fut: Future = Future()
-        self.queue.put((slot, chunk.astype(np.float32), fut))
+        fut = self._enqueue(("push", sid, chunk.astype(np.float32), Future()))
         return fut.result(timeout=120.0)
 
+    def _enqueue(self, item) -> Future:
+        # Atomic closed-check + put (see MicroBatcher.submit).
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("StreamingSessionService is closed")
+            self.queue.put(item)
+        return item[3]
+
     def close(self):
-        self._closed = True
-        self.queue.put(None)
-        self._thread.join(timeout=5.0)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self.queue.put(None)
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+        leftovers = list(self._carry)
+        self._carry.clear()
+        while True:
+            try:
+                item = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                leftovers.append(item)
+        for item in leftovers:
+            if not item[3].done():
+                item[3].set_exception(
+                    RuntimeError("StreamingSessionService is closed")
+                )
 
     # -- tick dispatcher -------------------------------------------------
     def _loop(self):
         while True:
-            item = self.queue.get()
-            if item is None:
+            if not self._carry:
+                item = self.queue.get()
+                if item is None:
+                    return  # close() fails any leftovers after join
+                self._carry.append(item)
+            if self._tick() < 0:
                 return
-            self._tick(first=item)
 
-    def _tick(self, first=None):
-        """Drain one coalesced tick (≤1 chunk per slot) and dispatch it."""
+    def _process_end(self, sid: str, fut: Future) -> None:
+        """Runs on the dispatcher: reset state, THEN free the slot (so a
+        new session can only take it after the reset is visible)."""
+        with self.lock:
+            slot = self.sessions.pop(sid, None)
+        if slot is None:
+            fut.set_exception(ValueError(f"unknown session {sid!r}"))
+            return
+        try:
+            self.rec.reset_streams([slot])
+            with self.lock:
+                self._video[slot] = 0.0
+                self._text[slot] = 0.0
+                self._free.append(slot)
+            fut.set_result(True)
+        except Exception as e:  # noqa: BLE001
+            fut.set_exception(e)
+
+    def _tick(self):
+        """Process the next request: an end, or one coalesced tick of
+        pushes (≤1 chunk per session). Returns items handled, -1 on the
+        shutdown sentinel."""
         import time as _time
 
-        if first is None:
-            first = self.queue.get()
-            if first is None:
-                return 0
-        batch = {first[0]: first}
-        deferred = []
+        if not self._carry:
+            item = self.queue.get()
+            if item is None:
+                return -1
+            self._carry.append(item)
+        head = self._carry.pop(0)
+        if head[0] == "end":
+            self._process_end(head[1], head[3])
+            return 1
+        batch = {head[1]: head}  # sid -> item
+        saw_sentinel = False
         deadline = _time.monotonic() + self.max_wait_s
-        while len(batch) < self.n_streams:
+        while len(batch) < self.n_streams and not self._carry:
             remaining = deadline - _time.monotonic()
             try:
                 item = (
@@ -271,36 +374,51 @@ class StreamingSessionService:
             except queue.Empty:
                 break
             if item is None:
-                self.queue.put(None)
+                saw_sentinel = True
                 break
-            if item[0] in batch:  # same slot twice: next tick, keep order
-                deferred.append(item)
+            if item[0] == "end" or item[1] in batch:
+                # Ends and same-session repeats wait for the next round —
+                # _carry is drained before new queue items, so per-session
+                # order is preserved.
+                self._carry.append(item)
                 break
-            batch[item[0]] = item
-        for item in reversed(deferred):
-            self.queue.put(item)
+            batch[item[1]] = item
+
         chunks = np.zeros((self.n_streams, self.chunk_samples), np.float32)
         active = np.zeros(self.n_streams, bool)
-        for slot, (_, chunk, _) in batch.items():
-            chunks[slot] = chunk
-            active[slot] = True
-        try:
-            with self.lock:
-                video, text = self._video.copy(), self._text.copy()
-            out = self.rec.push(chunks, video=video, text=text, active=active)
-            self.ticks += 1
-            for slot, (_, _, fut) in batch.items():
-                fut.set_result(
-                    {
-                        k: out[k][slot].tolist()
-                        for k in ("mu", "uncertainty", "calibrated_uncertainty")
-                    }
+        slot_of = {}
+        with self.lock:
+            for sid, (_, _, chunk, fut) in list(batch.items()):
+                slot = self.sessions.get(sid)
+                if slot is None:  # ended while queued
+                    batch.pop(sid)
+                    fut.set_exception(ValueError(f"unknown session {sid!r}"))
+                    continue
+                slot_of[sid] = slot
+                chunks[slot] = chunk
+                active[slot] = True
+            video, text = self._video.copy(), self._text.copy()
+        if batch:
+            try:
+                out = self.rec.push(
+                    chunks, video=video, text=text, active=active
                 )
-        except Exception as e:  # noqa: BLE001
-            for _, _, fut in batch.values():
-                if not fut.done():
-                    fut.set_exception(e)
-        return len(batch)
+                self.ticks += 1
+                for sid, (_, _, _, fut) in batch.items():
+                    slot = slot_of[sid]
+                    fut.set_result(
+                        {
+                            k: out[k][slot].tolist()
+                            for k in (
+                                "mu", "uncertainty", "calibrated_uncertainty"
+                            )
+                        }
+                    )
+            except Exception as e:  # noqa: BLE001
+                for _, _, _, fut in batch.values():
+                    if not fut.done():
+                        fut.set_exception(e)
+        return -1 if saw_sentinel else len(batch)
 
 
 class PredictionService:

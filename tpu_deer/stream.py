@@ -80,6 +80,17 @@ class StreamingConfig:
                 f"chunk_samples={self.chunk_samples} must cover one FFT "
                 f"window (n_fft={self.frontend.n_fft})"
             )
+        # The per-update delta context (mfcc_tail/d1_tail) is refilled from
+        # this update's frames alone, so each chunk must produce at least
+        # delta_width-1 frames or the carried tail shapes break.
+        min_frames = self.frontend.delta_width - 1
+        if self.chunk_samples // hop < min_frames:
+            raise ValueError(
+                f"chunk_samples={self.chunk_samples} yields "
+                f"{self.chunk_samples // hop} frames/chunk; need >= "
+                f"delta_width-1 = {min_frames} (raise chunk_samples or "
+                f"lower delta_width)"
+            )
 
     @property
     def frames_per_chunk(self) -> int:
@@ -305,8 +316,11 @@ class StreamingRecognizer:
 
     def reset_streams(self, stream_ids) -> None:
         """End the given sessions; their slots restart from silence."""
+        ids = np.asarray(stream_ids, dtype=np.int64)
+        if ids.size == 0:
+            return
         mask = np.zeros(self.n_streams, bool)
-        mask[np.asarray(stream_ids)] = True
+        mask[ids] = True
         self.state = self._reset(self.state, jnp.asarray(mask))
 
     def push(

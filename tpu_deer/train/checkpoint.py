@@ -43,10 +43,19 @@ class CheckpointManager:
 
     def wait(self) -> None:
         """Block until every queued async write has hit disk (re-raises the
-        first worker exception, if any)."""
+        first worker exception, if any — but always drains the whole queue
+        first, so a caller that catches the error is not left with stale
+        futures or still-in-flight writes)."""
+        first_exc = None
         for fut in self._pending:
-            fut.result()
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001
+                if first_exc is None:
+                    first_exc = e
         self._pending.clear()
+        if first_exc is not None:
+            raise first_exc
 
     # -- paths -----------------------------------------------------------
     def _step_dir(self, step: int) -> str:
@@ -81,12 +90,15 @@ class CheckpointManager:
         if self._pool is None:
             commit()
         else:
-            # Surface any past worker failure at the next save, then drop
-            # the completed futures.
-            for f in [f for f in self._pending if f.done()]:
-                f.result()
+            # Surface any past worker failure at the next save. Completed
+            # futures are removed from the queue BEFORE raising, so one
+            # failure is reported exactly once (a stale future must not
+            # re-raise on every later call).
+            done = [f for f in self._pending if f.done()]
             self._pending = [f for f in self._pending if not f.done()]
             self._pending.append(self._pool.submit(commit))
+            for f in done:
+                f.result()
         return path
 
     def _write(self, path: str, host_state: Any, step: int,
