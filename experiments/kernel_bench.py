@@ -1,0 +1,202 @@
+"""Kernel-level benchmarks: Pallas kernels vs their XLA-lowered baselines.
+
+Answers "are the hot kernels at speed of light?" with measured numbers on
+the real chip, for the two custom Pallas paths in the framework:
+
+  1. flash attention (ops/flash_attention.py) vs the einsum+softmax SDPA
+     XLA baseline — forward and forward+backward, across sequence lengths.
+     The XLA baseline materializes the [Tq, Tk] score matrix (O(T^2)
+     memory); the flash kernels stream K/V blocks (O(T*D)) — the point is
+     matching/beating XLA *while* removing the quadratic memory term.
+  2. the fused MFCC front-end kernel (ops/audio_frontend.py) vs its
+     pure-jnp XLA twin — same math, one fused VMEM-resident kernel vs
+     XLA's own fusion choices.
+
+Timing discipline (CLAUDE.md): the tunnel acks block_until_ready locally,
+so every measurement chains K iterations inside one jitted lax.scan with
+inputs generated on device and forces ONE host fetch of a scalar reduced
+from the outputs; the ~28 ms tunnel round trip amortizes over the chain.
+
+Writes experiments/RESULTS_kernels.md.
+
+Usage: python experiments/kernel_bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed_chain(fn, n_rep=3):
+    """fn() must dispatch the whole chain and host-fetch one value."""
+    fn()  # compile + warm
+    times = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="CPU smoke: tiny shapes, interpret-mode kernels")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_deer.ops.audio_frontend import AudioFrontendConfig, mfcc_frames
+    from tpu_deer.ops.flash_attention import flash_attention
+
+    platform = jax.devices()[0].platform
+    interpret = platform == "cpu"
+    K = 4 if args.quick else 64
+
+    # ---- 1. attention: flash (Pallas) vs einsum SDPA (XLA) --------------
+    def sdpa_ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(q.shape[-1])
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+
+    shapes = (
+        [(1, 2, 256, 64)] if args.quick
+        else [(8, 8, 1024, 64), (2, 8, 4096, 64), (1, 8, 8192, 64)]
+    )
+    attn_rows = []
+    for B, H, T, D in shapes:
+        flops_fwd = 4.0 * B * H * T * T * D  # QK^T + PV, mul+add
+        row = {"shape": f"B{B} H{H} T{T} D{D}"}
+        for name, attn in (
+            ("flash", lambda q, k, v: flash_attention(
+                q, k, v, interpret=interpret)),
+            ("xla", sdpa_ref),
+        ):
+            @jax.jit
+            def chain_fwd(key, attn=attn):
+                def body(c, k_):
+                    kq, kk, kv = jax.random.split(k_, 3)
+                    q = jax.random.normal(kq, (B, H, T, D), jnp.float32)
+                    k = jax.random.normal(kk, (B, H, T, D), jnp.float32)
+                    v = jax.random.normal(kv, (B, H, T, D), jnp.float32)
+                    return c, attn(q, k, v).mean()
+                _, outs = jax.lax.scan(body, (), jax.random.split(key, K))
+                return outs.sum()
+
+            @jax.jit
+            def chain_bwd(key, attn=attn):
+                def loss(q, k, v):
+                    return attn(q, k, v).mean()
+                def body(c, k_):
+                    kq, kk, kv = jax.random.split(k_, 3)
+                    q = jax.random.normal(kq, (B, H, T, D), jnp.float32)
+                    k = jax.random.normal(kk, (B, H, T, D), jnp.float32)
+                    v = jax.random.normal(kv, (B, H, T, D), jnp.float32)
+                    l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                        q, k, v)
+                    return c, l + sum(g.mean() for g in grads)
+                _, outs = jax.lax.scan(body, (), jax.random.split(key, K))
+                return outs.sum()
+
+            t_fwd = _timed_chain(
+                lambda f=chain_fwd: np.asarray(f(jax.random.PRNGKey(0)))
+            ) / K
+            t_bwd = _timed_chain(
+                lambda f=chain_bwd: np.asarray(f(jax.random.PRNGKey(1)))
+            ) / K
+            row[f"{name}_fwd_ms"] = t_fwd * 1e3
+            row[f"{name}_fwd_tflops"] = flops_fwd / t_fwd / 1e12
+            row[f"{name}_bwd_ms"] = t_bwd * 1e3
+            # fwd+bwd ~ 3.5x fwd FLOPs (FlashAttention-2 accounting)
+            row[f"{name}_bwd_tflops"] = 3.5 * flops_fwd / t_bwd / 1e12
+        attn_rows.append(row)
+        print(
+            f"attention {row['shape']}: "
+            f"flash fwd {row['flash_fwd_ms']:.2f}ms "
+            f"({row['flash_fwd_tflops']:.1f} TF/s) vs xla "
+            f"{row['xla_fwd_ms']:.2f}ms ({row['xla_fwd_tflops']:.1f}); "
+            f"fwd+bwd flash {row['flash_bwd_ms']:.2f}ms vs xla "
+            f"{row['xla_bwd_ms']:.2f}ms",
+            flush=True,
+        )
+
+    # ---- 2. MFCC frontend: fused Pallas kernel vs jnp/XLA twin ----------
+    acfg = AudioFrontendConfig()
+    N = 256 if args.quick else 16384  # frames per call
+    mfcc_rows = []
+    for name, use_pallas in (("pallas", True), ("xla", False)):
+        if use_pallas and platform == "cpu":
+            continue  # no CPU interpreter run for perf (correctness is
+            # covered by tests/test_audio_frontend.py)
+
+        @jax.jit
+        def chain(key, up=use_pallas):
+            def body(c, k_):
+                frames = jax.random.normal(k_, (N, acfg.n_fft), jnp.float32)
+                mfcc, logmel, power = mfcc_frames(frames, acfg, use_pallas=up)
+                return c, mfcc.mean() + logmel.mean() + power.mean()
+            _, outs = jax.lax.scan(body, (), jax.random.split(key, K))
+            return outs.sum()
+
+        t = _timed_chain(
+            lambda f=chain: np.asarray(f(jax.random.PRNGKey(2)))
+        ) / K
+        # DFT (2 matmuls) + mel + DCT, mul+add counting:
+        flops = 2.0 * N * (
+            2 * acfg.n_fft * (acfg.n_fft // 2 + 1)
+            + (acfg.n_fft // 2 + 1) * acfg.n_mels
+            + acfg.n_mels * acfg.n_mfcc
+        )
+        mfcc_rows.append({
+            "name": name, "ms": t * 1e3, "tflops": flops / t / 1e12,
+            "us_per_frame": t * 1e6 / N,
+        })
+        print(f"mfcc[{name}] {N} frames: {t*1e3:.2f}ms "
+              f"({flops/t/1e12:.1f} TF/s, {t*1e6/N:.2f}us/frame)", flush=True)
+
+    # ---- report ---------------------------------------------------------
+    out_path = os.path.join(os.path.dirname(__file__), "RESULTS_kernels.md")
+    with open(out_path, "w") as f:
+        f.write("# Kernel benchmarks — Pallas vs XLA baselines\n\n")
+        f.write(
+            f"- platform: **{platform}**, f32, {K}-iteration scan chains "
+            "with one host fetch (CLAUDE.md timing discipline)\n"
+            "- flash attention streams K/V blocks through VMEM "
+            "(O(T·D) memory); the XLA SDPA baseline materializes the "
+            "[T,T] score matrix\n\n"
+        )
+        f.write("## Attention (forward / forward+backward)\n\n")
+        f.write("| shape | flash fwd | XLA fwd | flash fwd ms | XLA fwd ms "
+                "| flash f+b ms | XLA f+b ms |\n|---|---|---|---|---|---|---|\n")
+        for r in attn_rows:
+            f.write(
+                f"| {r['shape']} | {r['flash_fwd_tflops']:.1f} TF/s | "
+                f"{r['xla_fwd_tflops']:.1f} TF/s | "
+                f"{r['flash_fwd_ms']:.2f} | {r['xla_fwd_ms']:.2f} | "
+                f"{r['flash_bwd_ms']:.2f} | {r['xla_bwd_ms']:.2f} |\n"
+            )
+        if mfcc_rows:
+            f.write("\n## Fused MFCC front-end (framing already done; "
+                    "window->DFT->mel->log->DCT)\n\n")
+            f.write("| path | ms / call | us / frame | attained |\n"
+                    "|---|---|---|---|\n")
+            for r in mfcc_rows:
+                f.write(f"| {r['name']} | {r['ms']:.2f} | "
+                        f"{r['us_per_frame']:.2f} | {r['tflops']:.1f} TF/s |\n")
+        f.write("\nThe flash kernels exist for their O(T) memory scaling — "
+                "matching the XLA baseline's wall clock while never "
+                "materializing the quadratic score matrix is the win; "
+                "beating it is a bonus.\n")
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

