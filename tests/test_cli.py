@@ -144,3 +144,37 @@ class TestConfig:
         for name in ("config.yaml", "quick_config.yaml"):
             cfg = load_yaml_config(os.path.join(repo, "configs", name))
             assert cfg["model"]["fusion_dim"] == 512
+
+
+class TestResume:
+    def test_cli_resume_continues_from_checkpoint(self, tmp_path):
+        """--resume with the same experiment dir picks up the saved step
+        (preemption recovery for long runs)."""
+        common = dict(
+            output_dir=str(tmp_path),
+            experiment_name="resumable",
+            quick=True,
+            overrides={
+                "model.encoder_dim": 32,
+                "model.fusion_dim": 64,
+                "model.encoder_layers": 1,
+                "training.batch_size": 32,
+            },
+        )
+        p1 = MultimodalDEERPipeline(
+            **{**common, "overrides": {**common["overrides"],
+                                       "training.num_epochs": 2}}
+        )
+        p1.create_model(); p1.create_datasets(); p1.create_trainer()
+        r1 = p1.run_training()
+        assert r1["final_step"] > 0
+
+        p2 = MultimodalDEERPipeline(
+            **{**common, "overrides": {**common["overrides"],
+                                       "training.num_epochs": 4}},
+            resume=True,
+        )
+        p2.create_model(); p2.create_datasets(); p2.create_trainer()
+        r2 = p2.run_training()
+        # Continued, not restarted: the step counter advanced past run 1.
+        assert r2["final_step"] > r1["final_step"]

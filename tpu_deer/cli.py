@@ -38,10 +38,15 @@ class MultimodalDEERPipeline:
         experiment_name: Optional[str] = None,
         overrides: Optional[dict] = None,
         quick: bool = False,
+        resume: bool = False,
     ):
         from tpu_deer.utils.config import load_yaml_config, save_yaml_config
 
         self.quick = quick
+        # Preemption/interruption recovery: restart with --resume and the
+        # SAME --output_dir/--experiment_name to continue from the latest
+        # checkpoint (params + opt state + step + RNG + best metric).
+        self.resume = resume
         self.config = load_yaml_config(config_path)
         if quick:
             # Quick validation: small but LEARNABLE (the reference's quick
@@ -211,7 +216,7 @@ class MultimodalDEERPipeline:
         writer = MetricWriter(self.path("logs"))
         results = self.trainer.train(
             self.datasets["train"], self.datasets["val"],
-            logger=writer, checkpoints=ckpt,
+            logger=writer, checkpoints=ckpt, resume=self.resume,
         )
         history = {k: v for k, v in results.items() if k != "trainer"}
         with open(self.path("results", "training_history.json"), "w") as f:
@@ -511,6 +516,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--results_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the "
+                        "experiment's models/ dir (use with the same "
+                        "--output_dir and --experiment_name)")
     p.add_argument("--quick", action="store_true",
                    help="8 epochs, batch size 32, lr 3e-3, small learnable "
                         "synthetic data (fast validation that shows learning)")
@@ -560,6 +569,7 @@ def main(argv=None) -> int:
         experiment_name=args.experiment_name,
         overrides=overrides,
         quick=args.quick,
+        resume=args.resume,
     )
 
     if args.mode == "full":
