@@ -441,3 +441,39 @@ class TestReviewFixes:
                 frontend=AudioFrontendConfig(n_fft=1024, hop_length=256),
                 chunk_samples=1024,  # only 4 frames < delta_width-1 = 8
             )
+
+
+class TestContextRefresh:
+    def test_push_with_video_context_changes_prediction(self, rng):
+        import dataclasses
+
+        from tpu_deer.ops.audio_frontend import AudioFrontendConfig
+        from tpu_deer.server import StreamingSessionService
+        from tpu_deer.stream import StreamingConfig
+
+        cfg = dataclasses.replace(SMALL, audio_dim=84)
+        model, params = create_complete_deer_model(cfg, seed=0)
+        sc = StreamingConfig(
+            frontend=AudioFrontendConfig(n_fft=512, hop_length=128),
+            chunk_samples=2048,
+        )
+        svc = StreamingSessionService(
+            model, params, n_streams=2, stream_cfg=sc, max_wait_ms=1.0,
+        )
+        try:
+            sid = svc.start()
+            chunk = rng.normal(size=sc.chunk_samples).astype(np.float32)
+            base = svc.push(sid, chunk)
+            # Refreshing the video context mid-session changes the fusion
+            # input, so the next prediction must move.
+            ctx = svc.push(
+                sid, chunk,
+                video=np.full(cfg.video_dim, 2.0, np.float32),
+            )
+            assert np.abs(
+                np.asarray(ctx["mu"]) - np.asarray(base["mu"])
+            ).max() > 1e-4
+            with pytest.raises(ValueError, match="unknown session"):
+                svc.set_context("nope", video=np.zeros(cfg.video_dim))
+        finally:
+            svc.close()

@@ -60,6 +60,46 @@ logger = logging.getLogger(__name__)
 MAX_BODY_BYTES = 64 * 1024 * 1024  # 64 MB request cap
 
 
+def _close_dispatcher(d, reason: str) -> None:
+    """Shared shutdown for the queue-dispatcher services (MicroBatcher,
+    StreamingSessionService): mark closed, wake the dispatcher with the
+    sentinel, join, and fail whatever is still queued.
+
+    The drain only runs once the dispatcher thread has actually exited —
+    `_carry` and the sentinel are dispatcher-private state, and draining
+    while it is still mid-dispatch (e.g. blocked in a first remote compile)
+    would race it and could leave it parked on an empty queue forever. If
+    the join times out, leftovers are the dispatcher's to finish; waiting
+    callers fall back to their own result timeouts."""
+    with d._close_lock:
+        if d._closed:
+            return
+        d._closed = True
+        d.queue.put(None)  # wake the dispatcher
+    if d._thread is not None:
+        d._thread.join(timeout=30.0)
+        if d._thread.is_alive():
+            logger.warning(
+                "%s: dispatcher still busy after 30s; leaving queue to it",
+                reason,
+            )
+            return
+    exc = RuntimeError(reason)
+    leftovers = list(d._carry)
+    d._carry.clear()
+    while True:
+        try:
+            item = d.queue.get_nowait()
+        except queue.Empty:
+            break
+        if item is not None:
+            leftovers.append(item)
+    for item in leftovers:
+        fut = item[-1]
+        if not fut.done():
+            fut.set_exception(exc)
+
+
 class MicroBatcher:
     """Coalesces concurrent predict requests into single engine dispatches.
 
@@ -103,29 +143,7 @@ class MicroBatcher:
         return fut
 
     def close(self):
-        with self._close_lock:
-            if self._closed:
-                return
-            self._closed = True
-            self.queue.put(None)  # wake the dispatcher
-        if self._thread is not None:
-            self._thread.join(timeout=30.0)
-        self._fail_pending(RuntimeError("MicroBatcher is closed"))
-
-    def _fail_pending(self, exc: Exception):
-        """Fail every future still queued/carried (shutdown path)."""
-        leftovers = list(self._carry)
-        self._carry.clear()
-        while True:
-            try:
-                item = self.queue.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                leftovers.append(item)
-        for *_, fut in leftovers:
-            if not fut.done():
-                fut.set_exception(exc)
+        _close_dispatcher(self, "MicroBatcher is closed")
 
     # -- dispatcher ------------------------------------------------------
     def _loop(self):
@@ -223,13 +241,27 @@ class StreamingSessionService:
 
     def __init__(self, model, params, n_streams: int = 64,
                  stream_cfg=None, max_wait_ms: float = 10.0,
-                 start: bool = True):
+                 start: bool = True, warmup: bool = True,
+                 push_timeout_s: float = 600.0):
         from tpu_deer.stream import StreamingConfig, StreamingRecognizer
 
         self.cfg = stream_cfg or StreamingConfig()
         self.rec = StreamingRecognizer(
             model, params, n_streams=n_streams, cfg=self.cfg
         )
+        self.push_timeout_s = push_timeout_s
+        if warmup:
+            # Compile the tick program NOW (remote jit is 1-3 min through
+            # the tunnel) so the first client push isn't served by a cold
+            # compile. An all-inactive push runs the exact same XLA program
+            # and leaves every stream's state untouched.
+            mcfg = model.config
+            self.rec.push(
+                np.zeros((n_streams, self.cfg.chunk_samples), np.float32),
+                video=np.zeros((n_streams, mcfg.video_dim), np.float32),
+                text=np.zeros((n_streams, mcfg.text_dim), np.float32),
+                active=np.zeros(n_streams, bool),
+            )
         self.n_streams = n_streams
         self.chunk_samples = self.cfg.chunk_samples
         mcfg = model.config
@@ -271,9 +303,25 @@ class StreamingSessionService:
         with self.lock:
             if sid not in self.sessions:
                 raise ValueError(f"unknown session {sid!r}")
-        self._enqueue(("end", sid, None, Future())).result(timeout=120.0)
+        self._enqueue(("end", sid, None, Future())).result(
+            timeout=self.push_timeout_s
+        )
 
-    def push(self, sid: str, chunk: np.ndarray) -> dict:
+    def set_context(self, sid: str, video=None, text=None) -> None:
+        """Refresh a live session's video/text context features (e.g. from
+        a slower feature-level pipeline); takes effect from the next tick."""
+        with self.lock:
+            slot = self.sessions.get(sid)
+            if slot is None:
+                raise ValueError(f"unknown session {sid!r}")
+            if video is not None:
+                self._video[slot] = video
+            if text is not None:
+                self._text[slot] = text
+
+    def push(self, sid: str, chunk: np.ndarray, video=None, text=None) -> dict:
+        if video is not None or text is not None:
+            self.set_context(sid, video=video, text=text)
         with self.lock:
             if sid not in self.sessions:
                 raise ValueError(f"unknown session {sid!r}")
@@ -283,7 +331,7 @@ class StreamingSessionService:
                 f"got {list(chunk.shape)}"
             )
         fut = self._enqueue(("push", sid, chunk.astype(np.float32), Future()))
-        return fut.result(timeout=120.0)
+        return fut.result(timeout=self.push_timeout_s)
 
     def _enqueue(self, item) -> Future:
         # Atomic closed-check + put (see MicroBatcher.submit).
@@ -294,27 +342,7 @@ class StreamingSessionService:
         return item[3]
 
     def close(self):
-        with self._close_lock:
-            if self._closed:
-                return
-            self._closed = True
-            self.queue.put(None)
-        if self._thread is not None:
-            self._thread.join(timeout=30.0)
-        leftovers = list(self._carry)
-        self._carry.clear()
-        while True:
-            try:
-                item = self.queue.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                leftovers.append(item)
-        for item in leftovers:
-            if not item[3].done():
-                item[3].set_exception(
-                    RuntimeError("StreamingSessionService is closed")
-                )
+        _close_dispatcher(self, "StreamingSessionService is closed")
 
     # -- tick dispatcher -------------------------------------------------
     def _loop(self):
@@ -606,7 +634,10 @@ def make_handler(service: PredictionService):
                     )}
                 elif self.path == "/stream/push":
                     result = service.streaming.push(
-                        _require_sid(payload), _decode_chunk(payload)
+                        _require_sid(payload),
+                        _decode_chunk(payload),
+                        video=_opt_vec(payload, "video", service.dims[1]),
+                        text=_opt_vec(payload, "text", service.dims[2]),
                     )
                 else:  # /stream/end
                     service.streaming.end(_require_sid(payload))
@@ -616,6 +647,12 @@ def make_handler(service: PredictionService):
                 return
             except json.JSONDecodeError as e:
                 self._reply(400, {"error": f"invalid JSON: {e}"})
+                return
+            except Exception as e:  # noqa: BLE001 — e.g. dispatch timeout,
+                # service closed mid-request: return JSON 500, never drop
+                # the socket with a raw traceback.
+                logger.exception("request failed")
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._reply(200, result)
 

@@ -53,6 +53,12 @@ class CheckpointManager:
             except Exception as e:  # noqa: BLE001
                 if first_exc is None:
                     first_exc = e
+                else:
+                    import logging
+
+                    logging.getLogger(__name__).error(
+                        "additional async checkpoint write failed: %r", e
+                    )
         self._pending.clear()
         if first_exc is not None:
             raise first_exc
@@ -90,15 +96,29 @@ class CheckpointManager:
         if self._pool is None:
             commit()
         else:
-            # Surface any past worker failure at the next save. Completed
+            # Surface past worker failures at the next save. Completed
             # futures are removed from the queue BEFORE raising, so one
             # failure is reported exactly once (a stale future must not
-            # re-raise on every later call).
+            # re-raise on every later call) — but every done future is
+            # inspected, so a second failure is not silently dropped.
             done = [f for f in self._pending if f.done()]
             self._pending = [f for f in self._pending if not f.done()]
             self._pending.append(self._pool.submit(commit))
+            first_exc = None
             for f in done:
-                f.result()
+                try:
+                    f.result()
+                except Exception as e:  # noqa: BLE001
+                    if first_exc is None:
+                        first_exc = e
+                    else:
+                        import logging
+
+                        logging.getLogger(__name__).error(
+                            "additional async checkpoint write failed: %r", e
+                        )
+            if first_exc is not None:
+                raise first_exc
         return path
 
     def _write(self, path: str, host_state: Any, step: int,
