@@ -477,3 +477,40 @@ class TestContextRefresh:
                 svc.set_context("nope", video=np.zeros(cfg.video_dim))
         finally:
             svc.close()
+
+
+class TestCloseWhileBusy:
+    def test_close_does_not_race_live_dispatcher(self):
+        """close() must not touch dispatcher-private state while the thread
+        is mid-dispatch; late requests fail cleanly either way."""
+        import time as _time
+
+        from tpu_deer.server import MicroBatcher
+
+        release = threading.Event()
+        entered = threading.Event()
+
+        class SlowEngine:
+            def predict(self, a, v, t):
+                entered.set()
+                release.wait(timeout=30)
+                return {"mu": np.zeros((len(a), 3), np.float32)}
+
+        mb = MicroBatcher(SlowEngine(), max_wait_ms=1.0)
+        fut = mb.submit(np.zeros((1, 4), np.float32),
+                        np.zeros((1, 4), np.float32),
+                        np.zeros((1, 4), np.float32))
+        assert entered.wait(timeout=10)  # dispatcher is now inside predict
+
+        closer = threading.Thread(target=mb.close)
+        closer.start()
+        _time.sleep(0.2)  # close() is waiting on the join
+        release.set()  # let the dispatch finish
+        closer.join(timeout=35)
+        assert not closer.is_alive()
+        # The in-flight request completed normally despite the close.
+        assert fut.result(timeout=5)["mu"].shape == (1, 3)
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.submit(np.zeros((1, 4), np.float32),
+                      np.zeros((1, 4), np.float32),
+                      np.zeros((1, 4), np.float32))
