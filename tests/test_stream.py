@@ -155,3 +155,48 @@ class TestMaskedPush:
         np.testing.assert_allclose(
             out2["features"][1], out1["features"][0], atol=1e-5
         )
+
+
+class TestMomentStability:
+    def test_welford_merge_survives_long_high_offset_streams(self):
+        """Running (mean, M2) moments must keep the variance where naive f32
+        sum-of-squares catastrophically cancels: mean >> std over ~1e5
+        samples (a long-lived session)."""
+        import jax.numpy as jnp
+
+        from tpu_deer.stream import _mean_std, _merge_moments
+
+        rng = np.random.default_rng(0)
+        F, D, K = 64, 4, 2000  # 128k samples total
+        true_mean, true_std = 1000.0, 0.1
+        stats = jnp.zeros((2, D), jnp.float32)
+        naive = np.zeros((2, D), np.float32)  # f32 sum / sumsq comparison
+        n = jnp.zeros(())
+        w = np.ones((F, 1), np.float32)
+        for _ in range(K):
+            x = rng.normal(true_mean, true_std, size=(F, D)).astype(np.float32)
+            stats = _merge_moments(stats, n, jnp.asarray(x), jnp.asarray(w),
+                                   float(F))
+            n = n + F
+            naive[0] += x.sum(0)
+            naive[1] += (x.astype(np.float32) ** 2).sum(0)
+        mean, std = _mean_std(stats, n)
+        np.testing.assert_allclose(np.asarray(mean), true_mean, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(std), true_std, rtol=0.05)
+        # The naive f32 estimate has already lost the signal: it collapses
+        # to 0 or to cancellation noise (>50% relative error everywhere).
+        total = float(n)
+        naive_var = naive[1] / total - (naive[0] / total) ** 2
+        naive_std = np.sqrt(np.maximum(naive_var, 0.0))
+        rel_err = np.abs(naive_std - true_std) / true_std
+        assert np.all(rel_err > 0.5), naive_std
+
+    def test_empty_voiced_batch_keeps_stats(self):
+        import jax.numpy as jnp
+
+        from tpu_deer.stream import _merge_moments
+
+        stats = jnp.asarray([[5.0], [2.0]])
+        out = _merge_moments(stats, jnp.asarray(10.0), jnp.zeros((4, 1)),
+                             jnp.zeros((4, 1)), jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(stats))

@@ -14,7 +14,9 @@ capability, designed TPU-first:
   * **O(chunk) incremental features.** The 84-d utterance vector
     (`ops/audio_frontend.py:extract_utterance_features` layout) is a set of
     means/stds over frame-level features, so the stream state carries
-    *sufficient statistics* (count / sum / sum-of-squares per family) plus
+    *running moments* (count / mean / M2, Welford-merged per chunk —
+    numerically stable for unbounded session lengths, unlike raw f32
+    sum-of-squares which loses the variance after ~1e7 frames) plus
     tiny carry buffers: the last `n_fft - hop` raw samples (framing overlap)
     and the last `delta_width - 1` MFCC / Δ frames (delta context). Each
     push costs work proportional to the chunk, not to the stream history.
@@ -108,7 +110,7 @@ class StreamState(NamedTuple):
     mfcc_tail: jax.Array  # [delta_width - 1, n_mfcc] Δ context
     d1_tail: jax.Array  # [delta_width - 1, n_mfcc] ΔΔ context
     n_frames: jax.Array  # scalar f32: frames accumulated
-    mfcc_stats: jax.Array  # [2, n_mfcc]: sum, sum-of-squares
+    mfcc_stats: jax.Array  # [2, n_mfcc]: running mean, M2 (Welford)
     d1_n: jax.Array
     d1_stats: jax.Array  # [2, n_mfcc]
     d2_n: jax.Array
@@ -116,8 +118,8 @@ class StreamState(NamedTuple):
     f0_n: jax.Array  # voiced-frame count
     f0_stats: jax.Array  # [2]
     rms_stats: jax.Array  # [2]
-    zcr_sum: jax.Array
-    centroid_sum: jax.Array
+    zcr_mean: jax.Array
+    centroid_mean: jax.Array
 
 
 def init_stream_state(cfg: StreamingConfig) -> StreamState:
@@ -137,8 +139,8 @@ def init_stream_state(cfg: StreamingConfig) -> StreamState:
         f0_n=z(),
         f0_stats=z(2),
         rms_stats=z(2),
-        zcr_sum=z(),
-        centroid_sum=z(),
+        zcr_mean=z(),
+        centroid_mean=z(),
     )
 
 
@@ -195,36 +197,62 @@ def streaming_update(
     zcr = zero_crossing_rate(frames)
     centroid, _, _ = spectral_summaries(power, fe)
 
-    sums = lambda x, m=None: jnp.stack(
-        [
-            (x if m is None else x * m).sum(axis=0),
-            ((x * x) if m is None else x * x * m).sum(axis=0),
-        ]
-    )
+    ones = jnp.ones((F, 1), jnp.float32)
     new_state = StreamState(
         sample_tail=signal[-cfg.sample_carry :],
         mfcc_tail=mfcc[-(fe.delta_width - 1) :],
         d1_tail=d1[-(fe.delta_width - 1) :],
         n_frames=n0 + F,
-        mfcc_stats=state.mfcc_stats + sums(mfcc),
+        mfcc_stats=_merge_moments(state.mfcc_stats, n0, mfcc, ones, float(F)),
         d1_n=state.d1_n + d1_mask.sum(),
-        d1_stats=state.d1_stats + sums(d1, d1_mask),
+        d1_stats=_merge_moments(
+            state.d1_stats, state.d1_n, d1, d1_mask, d1_mask.sum()
+        ),
         d2_n=state.d2_n + d2_mask.sum(),
-        d2_stats=state.d2_stats + sums(d2, d2_mask),
+        d2_stats=_merge_moments(
+            state.d2_stats, state.d2_n, d2, d2_mask, d2_mask.sum()
+        ),
         f0_n=state.f0_n + v.sum(),
-        f0_stats=state.f0_stats + jnp.stack([(f0 * v).sum(), (f0 * f0 * v).sum()]),
-        rms_stats=state.rms_stats + jnp.stack([rms.sum(), (rms * rms).sum()]),
-        zcr_sum=state.zcr_sum + zcr.sum(),
-        centroid_sum=state.centroid_sum + centroid.sum(),
+        f0_stats=_merge_moments(state.f0_stats, state.f0_n, f0, v, v.sum()),
+        rms_stats=_merge_moments(
+            state.rms_stats, n0, rms, ones[:, 0], float(F)
+        ),
+        zcr_mean=state.zcr_mean
+        + (zcr.mean() - state.zcr_mean) * (F / (n0 + F)),
+        centroid_mean=state.centroid_mean
+        + (centroid.mean() - state.centroid_mean) * (F / (n0 + F)),
     )
     return new_state, _features_from_state(new_state)
 
 
+def _merge_moments(
+    stats: jax.Array, n_old: jax.Array, x: jax.Array, w: jax.Array,
+    n_new: jax.Array,
+) -> jax.Array:
+    """Chan's parallel (mean, M2) merge of a weighted batch into running
+    moments. `stats` is [2, ...] (mean, M2); `x` the batch values with `w`
+    0/1 weights summing to `n_new` (broadcastable to x).
+
+    Why not plain sum / sum-of-squares: for a long-lived stream the f32
+    sum-of-squares grows without bound and the variance (E[x^2] - E[x]^2
+    catastrophic cancellation) is lost after ~1e7 frames (~2 days of
+    continuous audio). Welford-style moments keep full precision for
+    unbounded session lengths at the same state size."""
+    nb = jnp.maximum(n_new, 1.0)
+    bm = (x * w).sum(axis=0) / nb
+    bM2 = (((x - bm) ** 2) * w).sum(axis=0)
+    n_tot = jnp.maximum(n_old + n_new, 1.0)
+    delta = bm - stats[0]
+    mean = stats[0] + delta * (n_new / n_tot)
+    M2 = stats[1] + bM2 + delta * delta * (n_old * n_new / n_tot)
+    # An empty batch (n_new == 0, e.g. no voiced frames) changes nothing.
+    return jnp.where(n_new > 0, jnp.stack([mean, M2]), stats)
+
+
 def _mean_std(stats: jax.Array, n: jax.Array):
+    """(mean, M2) running moments → (mean, population std)."""
     n = jnp.maximum(n, 1.0)
-    mean = stats[0] / n
-    var = jnp.maximum(stats[1] / n - mean * mean, 0.0)
-    return mean, jnp.sqrt(var)
+    return stats[0], jnp.sqrt(jnp.maximum(stats[1] / n, 0.0))
 
 
 def _features_from_state(s: StreamState) -> jax.Array:
@@ -233,14 +261,13 @@ def _features_from_state(s: StreamState) -> jax.Array:
     d2_mean, d2_std = _mean_std(s.d2_stats, s.d2_n)
     f0_mean, f0_std = _mean_std(s.f0_stats, s.f0_n)
     rms_mean, rms_std = _mean_std(s.rms_stats, s.n_frames)
-    n = jnp.maximum(s.n_frames, 1.0)
     vec = jnp.concatenate(
         [
             m_mean, m_std, d1_mean, d1_std, d2_mean, d2_std,
             jnp.stack(
                 [
                     f0_mean, f0_std, rms_mean, rms_std,
-                    s.zcr_sum / n, s.centroid_sum / n,
+                    s.zcr_mean, s.centroid_mean,
                 ]
             ),
         ]
