@@ -30,12 +30,48 @@ All numbers are LOWER bounds on what co-located hardware would deliver.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_MS = 47.0
+
+
+def _probe_backend(attempts: int | None = None,
+                   probe_timeout_s: int = 90) -> bool:
+    """Return True once `import jax` completes in a fresh subprocess.
+
+    The tunneled-TPU backend registers at interpreter start and has been
+    observed to WEDGE (import jax blocks forever — see CLAUDE.md). Probing
+    in a subprocess with a timeout turns an unbounded hang into a bounded,
+    retried, diagnosable failure. Retries cover transient wedges (~10 min
+    window at the defaults).
+    """
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "8"))
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return True  # CPU backend cannot wedge
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(
+                f"# backend probe {i + 1}/{attempts} failed "
+                f"(tunnel wedged or unreachable); retrying",
+                file=sys.stderr,
+            )
+            time.sleep(5)
+    return False
 
 
 def _e2e_times_ms(dispatch, fetch_arg_list, iters=None) -> np.ndarray:
@@ -50,6 +86,15 @@ def _e2e_times_ms(dispatch, fetch_arg_list, iters=None) -> np.ndarray:
 
 
 def main() -> int:
+    if not _probe_backend():
+        print(
+            "# FATAL: jax backend never came up (the TPU tunnel wedges "
+            "`import jax` — see CLAUDE.md). Bench needs the real chip; "
+            "retry when the tunnel recovers.",
+            file=sys.stderr,
+        )
+        return 2
+
     import jax
     import jax.numpy as jnp
 
