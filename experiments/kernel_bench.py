@@ -128,19 +128,24 @@ def main() -> int:
         )
 
     # ---- 2. MFCC frontend: fused Pallas kernel vs jnp/XLA twin ----------
+    # The Pallas path is swept over frame-block sizes (the flash lesson:
+    # block size is a first-order knob; measure, don't guess).
     acfg = AudioFrontendConfig()
     N = 256 if args.quick else 16384  # frames per call
+    variants = [("xla", False, None)]
+    if platform != "cpu":  # no CPU interpreter run for perf (correctness
+        # is covered by tests/test_audio_frontend.py)
+        variants = [
+            (f"pallas-b{b}", True, b) for b in (128, 256, 512, 1024)
+        ] + variants
     mfcc_rows = []
-    for name, use_pallas in (("pallas", True), ("xla", False)):
-        if use_pallas and platform == "cpu":
-            continue  # no CPU interpreter run for perf (correctness is
-            # covered by tests/test_audio_frontend.py)
-
+    for name, use_pallas, blk in variants:
         @jax.jit
-        def chain(key, up=use_pallas):
+        def chain(key, up=use_pallas, blk=blk):
             def body(c, k_):
                 frames = jax.random.normal(k_, (N, acfg.n_fft), jnp.float32)
-                mfcc, logmel, power = mfcc_frames(frames, acfg, use_pallas=up)
+                mfcc, logmel, power = mfcc_frames(
+                    frames, acfg, use_pallas=up, block_frames=blk)
                 return c, mfcc.mean() + logmel.mean() + power.mean()
             _, outs = jax.lax.scan(body, (), jax.random.split(key, K))
             return outs.sum()

@@ -103,6 +103,33 @@ class TestMFCCPaths:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=1e-3)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-3, atol=5e-3)
 
+    @pytest.mark.parametrize("block", [16, 128, 256, 512])
+    def test_pallas_block_sizes_agree(self, rng, block):
+        """Every frame-block size (the kernel_bench sweep values, plus one
+        below the old 128 floor) must produce the same features — block
+        size is a perf knob, never a semantics knob."""
+        frames = jnp.asarray(
+            rng.normal(size=(50, CFG.n_fft)).astype(np.float32)
+        )
+        m1, l1, p1 = mfcc_frames(frames, CFG, use_pallas=False)
+        m2, l2, p2 = mfcc_frames(
+            frames, CFG, use_pallas=True, interpret=True, block_frames=block
+        )
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-3, atol=5e-3)
+
+    def test_auto_block_frames(self):
+        from tpu_deer.ops.audio_frontend import _auto_block_frames
+
+        assert _auto_block_frames(16384) == 128
+        assert _auto_block_frames(128) == 128
+        # short inputs (streaming chunks, per-utterance vmap lanes) round up
+        # to one tile-aligned block instead of padding to 128
+        assert _auto_block_frames(50) == 56
+        assert _auto_block_frames(16) == 16
+        assert _auto_block_frames(1) == 8
+
     def test_mfcc_shapes(self, rng):
         frames = jnp.asarray(rng.normal(size=(30, CFG.n_fft)).astype(np.float32))
         mfcc, logmel, power = mfcc_frames(frames, CFG, use_pallas=False)

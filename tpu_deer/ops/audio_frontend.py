@@ -134,12 +134,30 @@ def _mfcc_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref, dct_ref,
     mfcc_ref[:] = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32)
 
 
+def _auto_block_frames(n: int) -> int:
+    """Default frame-block size for the fused MFCC kernel.
+
+    Unlike flash attention (where the contraction dim D=64 underfills the
+    MXU at small blocks — see flash_attention._auto_block), the MFCC
+    matmuls contract over n_fft=1024 with >=40 output lanes, so the MXU is
+    reasonably fed even at 128 rows; the block size mainly trades grid
+    overhead against padding waste. Short inputs (per-utterance vmap lanes,
+    streaming chunks) round up to one tile-aligned block instead of padding
+    to 128+.
+    """
+    if n >= 128:
+        return 128
+    return max(8, ((n + 7) // 8) * 8)
+
+
 def _mfcc_pallas(frames: jax.Array, bases, cfg: AudioFrontendConfig,
-                 block_frames: int = 128, interpret: bool = False):
+                 block_frames: Optional[int] = None, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = frames.shape[0]
+    if block_frames is None:
+        block_frames = _auto_block_frames(n)
     n_pad = ((n + block_frames - 1) // block_frames) * block_frames
     if n_pad != n:
         frames = jnp.pad(frames, ((0, n_pad - n), (0, 0)))
@@ -188,13 +206,19 @@ def mfcc_frames(
     cfg: AudioFrontendConfig = AudioFrontendConfig(),
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    block_frames: Optional[int] = None,
 ):
-    """frames [N, n_fft] → (mfcc [N, n_mfcc], logmel [N, n_mels], power [N, n_bins])."""
+    """frames [N, n_fft] → (mfcc [N, n_mfcc], logmel [N, n_mels], power [N, n_bins]).
+
+    `block_frames` overrides the Pallas frame-block size (None = auto);
+    ignored on the XLA path.
+    """
     bases = _bases(cfg)
     if use_pallas is None:
         use_pallas = _default_use_pallas()
     if use_pallas:
-        return _mfcc_pallas(frames, bases, cfg, interpret=interpret)
+        return _mfcc_pallas(frames, bases, cfg, block_frames=block_frames,
+                            interpret=interpret)
     power = _power_spectrum_xla(frames, bases)
     mfcc, logmel = _mfcc_from_power(power, bases)
     return mfcc, logmel, power
