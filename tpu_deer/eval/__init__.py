@@ -9,3 +9,4 @@ from tpu_deer.eval.uncertainty import UncertaintyAnalyzer, sparsification_curve
 from tpu_deer.eval.calibration import CalibrationAnalyzer
 from tpu_deer.eval.statistics import StatisticalValidator, bootstrap_ccc_ci
 from tpu_deer.eval.cross_validation import CrossValidationEvaluator
+from tpu_deer.eval.conformal import ConformalCalibrator, ConformalIntervals
