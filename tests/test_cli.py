@@ -45,6 +45,19 @@ class TestPipelineE2E:
             os.path.join(exp_dir, "results", "evaluation.json")
         )
 
+    def test_conformal_report_written(self, summary_and_dir):
+        import json
+
+        _, exp_dir = summary_and_dir
+        path = os.path.join(exp_dir, "results", "conformal.json")
+        assert os.path.exists(path)
+        with open(path) as f:
+            rep = json.load(f)
+        cov = rep["synthetic"]["empirical_coverage"]
+        # guarantee holds even for the undertrained quick model (128-sample
+        # test split -> generous finite-sample slack)
+        assert all(c >= 0.9 - 0.08 for c in cov), cov
+
     def test_metrics_sane(self, summary_and_dir):
         summary, _ = summary_and_dir
         res = summary["test_results"]["synthetic"]

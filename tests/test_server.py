@@ -66,6 +66,39 @@ class TestServer:
         out = _post(url, {"audio": row, "video": row, "text": row})
         assert np.asarray(out["mu"]).shape == (1, 3)
 
+    def test_conformal_intervals_in_response(self, running_server, tmp_path):
+        """--conformal spec makes /predict return calibrated intervals whose
+        half-width is quantile * sqrt(uncertainty) around mu."""
+        url, service = running_server
+        spec_path = tmp_path / "conformal.json"
+        # CLI-report shape (per-dataset dict) to exercise the loader
+        spec_path.write_text(json.dumps({"synthetic": {
+            "alpha": 0.1, "normalized": True, "quantiles": [1.5, 2.0, 2.5],
+        }}))
+        service.conformal = PredictionService.load_conformal(str(spec_path))
+        try:
+            rng = np.random.default_rng(1)
+            feats = rng.standard_normal((2, 16)).tolist()
+            out = _post(url, {"audio": feats, "video": feats, "text": feats})
+            mu = np.asarray(out["mu"])
+            lo = np.asarray(out["interval_lower"])
+            hi = np.asarray(out["interval_upper"])
+            sig = np.sqrt(np.asarray(out["uncertainty"]))
+            assert out["interval_alpha"] == 0.1
+            np.testing.assert_allclose(
+                hi - lo, 2.0 * sig * np.array([1.5, 2.0, 2.5]), rtol=1e-5)
+            np.testing.assert_allclose((hi + lo) / 2.0, mu, atol=1e-6)
+        finally:
+            service.conformal = None
+
+    def test_conformal_loader_rejects_inf_quantiles(self, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text(json.dumps(
+            {"alpha": 0.01, "normalized": True,
+             "quantiles": [1.0, float("inf"), 1.0]}))
+        with pytest.raises(ValueError, match="non-finite"):
+            PredictionService.load_conformal(str(p))
+
     def test_validation_errors(self, running_server):
         url, _ = running_server
         row = [0.0] * 16

@@ -241,7 +241,40 @@ class MultimodalDEERPipeline:
             )
         with open(self.path("results", "evaluation.json"), "w") as f:
             json.dump(all_results, f, indent=2)
+        self._write_conformal_report(test_sets)
         return all_results
+
+    def _write_conformal_report(self, test_sets) -> None:
+        """Split-conformal intervals: fit quantiles on the val split, report
+        coverage/width on the test split (results/conformal.json). The saved
+        quantiles are what a serving deployment loads to return calibrated
+        intervals alongside predictions."""
+        from tpu_deer.eval.conformal import ConformalCalibrator
+
+        val_sets = self.datasets.get("val") or {}
+        report = {}
+        for name, test_ds in test_sets.items():
+            cal_ds = val_sets.get(name) or next(iter(val_sets.values()), None)
+            if cal_ds is None or cal_ds is test_ds:
+                continue  # no held-out split to calibrate on
+            pc = self.trainer.predict(cal_ds)
+            pt = self.trainer.predict(test_ds)
+            cal = ConformalCalibrator(alpha=0.1, normalized=True).fit(
+                pc["mu"], np.sqrt(np.maximum(pc["uncertainty"], 1e-12)),
+                cal_ds.arrays["labels"],
+            )
+            report[name] = cal.report(
+                pt["mu"], np.sqrt(np.maximum(pt["uncertainty"], 1e-12)),
+                test_ds.arrays["labels"],
+            )
+            cov = report[name]["empirical_coverage"]
+            logger.info(
+                f"[{name}] conformal 90% intervals: coverage "
+                + "/".join(f"{c:.3f}" for c in cov)
+            )
+        if report:
+            with open(self.path("results", "conformal.json"), "w") as f:
+                json.dump(report, f, indent=2)
 
     def run_visualization(self) -> dict:
         from tpu_deer.viz.report import create_comprehensive_report

@@ -8,6 +8,10 @@ standard library:
   POST /predict   {"audio": [[..84..]], "video": [[..256..]], "text": [[..768..]]}
                   -> {"mu": [[v,a,d]..], "uncertainty": ..,
                       "calibrated_uncertainty": ..}
+                  (+ interval_lower/interval_upper/interval_alpha when the
+                   server is started with --conformal <quantile json> — split
+                   conformal intervals with 1-alpha marginal coverage, widths
+                   scaled per sample by the NIG uncertainty)
   GET  /healthz   -> {"status": "ok", "requests_served": N}
 
 With `--stream_slots N` (checkpoint source), live audio sessions:
@@ -454,7 +458,7 @@ class PredictionService:
 
     def __init__(self, engine, dims: tuple[int, int, int],
                  micro_batch: bool = False, max_batch: int = 256,
-                 max_wait_ms: float = 2.0, streaming=None):
+                 max_wait_ms: float = 2.0, streaming=None, conformal=None):
         self.engine = engine
         self.dims = dims
         self.lock = threading.Lock()
@@ -465,6 +469,34 @@ class PredictionService:
             else None
         )
         self.streaming: Optional[StreamingSessionService] = streaming
+        # Conformal interval spec: {"alpha", "normalized", "quantiles": [D]}
+        # (the per-dim quantiles the CLI's evaluate stage writes to
+        # results/conformal.json). When set, /predict responses include
+        # interval_lower/interval_upper with 1-alpha marginal coverage.
+        self.conformal = conformal
+
+    @staticmethod
+    def load_conformal(path: str) -> dict:
+        """Load an interval spec from a conformal JSON file — either a flat
+        {"alpha","normalized","quantiles"} dict or the CLI's per-dataset
+        report (first dataset wins)."""
+        with open(path) as f:
+            spec = json.load(f)
+        if "quantiles" not in spec:
+            if not spec:
+                raise ValueError(f"{path}: empty conformal report")
+            spec = next(iter(spec.values()))
+        q = np.asarray(spec["quantiles"], dtype=np.float64)
+        if not np.all(np.isfinite(q)):
+            raise ValueError(
+                f"{path}: non-finite conformal quantiles {q.tolist()} — the "
+                "calibration split was too small for the requested alpha"
+            )
+        return {
+            "alpha": float(spec.get("alpha", 0.1)),
+            "normalized": bool(spec.get("normalized", True)),
+            "quantiles": q,
+        }
 
     _SERVICE_KW = ("micro_batch", "max_batch", "max_wait_ms")
 
@@ -539,11 +571,24 @@ class PredictionService:
             with self.lock:
                 out = self.engine.predict(*arrays)
                 self.requests_served += 1
-        return {
+        resp = {
             k: np.asarray(v).tolist()
             for k, v in out.items()
             if k in ("mu", "uncertainty", "calibrated_uncertainty")
         }
+        if self.conformal is not None:
+            mu = np.asarray(out["mu"], dtype=np.float64)
+            q = self.conformal["quantiles"][None, :]
+            if self.conformal["normalized"]:
+                sig = np.sqrt(np.maximum(
+                    np.asarray(out["uncertainty"], dtype=np.float64), 1e-12))
+                half = sig * q
+            else:
+                half = np.broadcast_to(q, mu.shape)
+            resp["interval_lower"] = (mu - half).tolist()
+            resp["interval_upper"] = (mu + half).tolist()
+            resp["interval_alpha"] = self.conformal["alpha"]
+        return resp
 
 
 def _require_sid(payload: dict) -> str:
@@ -687,6 +732,10 @@ def main(argv=None) -> int:
                    help="micro-batching: max coalesced rows per dispatch")
     p.add_argument("--max_wait_ms", type=float, default=2.0,
                    help="micro-batching: max straggler wait per dispatch")
+    p.add_argument("--conformal",
+                   help="conformal quantile JSON (the CLI evaluate stage's "
+                        "results/conformal.json); /predict responses gain "
+                        "interval_lower/interval_upper with 1-alpha coverage")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -702,6 +751,8 @@ def main(argv=None) -> int:
         if args.stream_slots:
             p.error("--stream_slots requires --checkpoint (needs the model)")
         service = PredictionService.from_exported(args.exported, **mb)
+    if args.conformal:
+        service.conformal = PredictionService.load_conformal(args.conformal)
 
     server = serve(service, args.host, args.port)
     try:
