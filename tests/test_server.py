@@ -299,6 +299,26 @@ class TestStreamingSessions:
         )
         assert health["stream_sessions"] == 0
 
+    def test_stream_push_carries_conformal_intervals(self, stream_server, rng):
+        url, service, sc = stream_server
+        service.conformal = {
+            "alpha": 0.1, "normalized": True,
+            "quantiles": np.array([1.0, 2.0, 3.0]),
+        }
+        try:
+            sid = _post_path(url, "/stream/start", {})["session_id"]
+            chunk = rng.normal(size=sc.chunk_samples).astype(np.float32)
+            out = _post_path(url, "/stream/push",
+                             {"session_id": sid, "audio": chunk.tolist()})
+            lo, hi = np.asarray(out["interval_lower"]), np.asarray(out["interval_upper"])
+            sig = np.sqrt(np.asarray(out["uncertainty"]))
+            assert lo.shape == (3,)
+            np.testing.assert_allclose(
+                hi - lo, 2.0 * sig * np.array([1.0, 2.0, 3.0]), rtol=1e-5)
+            _post_path(url, "/stream/end", {"session_id": sid})
+        finally:
+            service.conformal = None
+
     def test_slot_exhaustion_and_unknown_session(self, stream_server):
         url, service, sc = stream_server
         sids = [_post_path(url, "/stream/start", {})["session_id"] for _ in range(2)]

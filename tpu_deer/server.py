@@ -21,6 +21,7 @@ With `--stream_slots N` (checkpoint source), live audio sessions:
                      "pcm16_b64": base64 int16 LE PCM)
                      -> {"mu": [v,a,d], "uncertainty": ..,
                          "calibrated_uncertainty": ..}
+                     (+ interval_lower/upper under --conformal, as /predict)
   POST /stream/end   {"session_id": ..} -> {"ended": true}
 
 Concurrent session pushes coalesce into one shared recognizer tick (the
@@ -576,18 +577,24 @@ class PredictionService:
             for k, v in out.items()
             if k in ("mu", "uncertainty", "calibrated_uncertainty")
         }
-        if self.conformal is not None:
-            mu = np.asarray(out["mu"], dtype=np.float64)
-            q = self.conformal["quantiles"][None, :]
-            if self.conformal["normalized"]:
-                sig = np.sqrt(np.maximum(
-                    np.asarray(out["uncertainty"], dtype=np.float64), 1e-12))
-                half = sig * q
-            else:
-                half = np.broadcast_to(q, mu.shape)
-            resp["interval_lower"] = (mu - half).tolist()
-            resp["interval_upper"] = (mu + half).tolist()
-            resp["interval_alpha"] = self.conformal["alpha"]
+        return self.attach_intervals(resp)
+
+    def attach_intervals(self, resp: dict) -> dict:
+        """Add conformal interval_lower/upper to a response carrying
+        mu + uncertainty (either one row [3] or a batch [N, 3])."""
+        if self.conformal is None or "mu" not in resp:
+            return resp
+        mu = np.asarray(resp["mu"], dtype=np.float64)
+        q = self.conformal["quantiles"]  # [3]; broadcasts over both shapes
+        if self.conformal["normalized"]:
+            sig = np.sqrt(np.maximum(
+                np.asarray(resp["uncertainty"], dtype=np.float64), 1e-12))
+            half = sig * q
+        else:
+            half = np.broadcast_to(q, mu.shape)
+        resp["interval_lower"] = (mu - half).tolist()
+        resp["interval_upper"] = (mu + half).tolist()
+        resp["interval_alpha"] = self.conformal["alpha"]
         return resp
 
 
@@ -678,12 +685,12 @@ def make_handler(service: PredictionService):
                         text=_opt_vec(payload, "text", service.dims[2]),
                     )}
                 elif self.path == "/stream/push":
-                    result = service.streaming.push(
+                    result = service.attach_intervals(service.streaming.push(
                         _require_sid(payload),
                         _decode_chunk(payload),
                         video=_opt_vec(payload, "video", service.dims[1]),
                         text=_opt_vec(payload, "text", service.dims[2]),
-                    )
+                    ))
                 else:  # /stream/end
                     service.streaming.end(_require_sid(payload))
                     result = {"ended": True}
