@@ -1,0 +1,77 @@
+"""Uncertainty-aware knowledge distillation for serving-size students.
+
+Beyond-reference capability (the reference has no model-compression story;
+its serving latency claim is the raw 47 ms/sample forward, README.md:30).
+Compress the flagship teacher into a much smaller student that preserves
+both the *predictions* and the *uncertainty ranking* — the two things
+serving consumers (conformal intervals, AUSE-based triage) actually use.
+
+Mechanics: stamp the training set once with the teacher's outputs
+(`add_teacher_targets` — one batched forward pass, device-side), then train
+the student normally with `DEERTrainer`; the trainer's loss picks up the
+`teacher_mu` / `teacher_unc` arrays automatically (TrainingConfig
+`distill_mu_weight` / `distill_unc_weight`). The student still sees the true
+labels through the DEER loss, so distillation is a regularizer toward the
+teacher, not a replacement for the data.
+
+TPU notes: stamping is one jit-compiled scan of forwards over the staged
+dataset (no per-batch host round trips); the student's train step is the
+ordinary fused XLA program — distillation adds two elementwise terms that
+XLA fuses into the existing backward.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_deer.data.pipeline import ArrayDataset
+
+__all__ = ["add_teacher_targets"]
+
+
+def add_teacher_targets(
+    teacher_model,
+    teacher_params,
+    dataset: ArrayDataset,
+    batch_size: int = 512,
+) -> ArrayDataset:
+    """Return a copy of `dataset` with `teacher_mu` / `teacher_unc` arrays.
+
+    `teacher_unc` is the teacher's raw total uncertainty (`uncertainty_all`),
+    matched by the student in log space. Runs the teacher in deterministic
+    mode over padded fixed-size batches (one compilation), so it works
+    through the remote-TPU tunnel without per-batch recompiles.
+    """
+    n = len(dataset)
+    audio = np.asarray(dataset.arrays["audio"])
+    video = np.asarray(dataset.arrays["video"])
+    text = np.asarray(dataset.arrays["text"])
+
+    @jax.jit
+    def fwd(a, v, t):
+        out = teacher_model.apply(
+            {"params": teacher_params}, a, v, t, deterministic=True
+        )
+        return out["mu_all"], out["uncertainty_all"]
+
+    mus, uncs = [], []
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        pad = batch_size - len(idx)
+        if pad:  # wrap-pad so jit sees one shape; padded rows are dropped
+            idx = np.concatenate([idx, idx[:pad] % n])
+        mu, unc = fwd(
+            jnp.asarray(audio[idx]), jnp.asarray(video[idx]),
+            jnp.asarray(text[idx]),
+        )
+        keep = batch_size - pad
+        mus.append(np.asarray(mu)[:keep])
+        uncs.append(np.asarray(unc)[:keep])
+
+    arrays = dict(dataset.arrays)
+    arrays["teacher_mu"] = np.concatenate(mus).astype(np.float32)
+    arrays["teacher_unc"] = np.concatenate(uncs).astype(np.float32)
+    return ArrayDataset(arrays, dataset.name)

@@ -84,6 +84,15 @@ class TrainingConfig:
     # ranking (diag batch 3: r(unc, true noise) = 0.89 without it), and the
     # deployable uncertainty scale comes from the calibration layer anyway.
     aleatoric_moment_weight: float = 0.0
+    # Knowledge distillation (tpu_deer extension; no reference equivalent).
+    # Active only when the training dataset carries `teacher_mu` /
+    # `teacher_unc` arrays (stamp them with train.distill.add_teacher_targets)
+    # — ordinary datasets are unaffected. mu distillation is plain MSE to the
+    # teacher's predictions; uncertainty distillation matches LOG total
+    # uncertainty so the student inherits the teacher's uncertainty RANKING
+    # (what AUSE/conformal widths depend on), not just its scale.
+    distill_mu_weight: float = 1.0
+    distill_unc_weight: float = 0.5
     # Skip the parameter/optimizer update on steps whose loss or gradient
     # norm is non-finite (bf16 overflow, NIG log blowup, poisoned batch)
     # instead of letting one step destroy training. Branch-free select, so
@@ -192,6 +201,13 @@ def _encoder_label_fn(params, frozen_prefixes: tuple = ()) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+# Dataset arrays that feed the jitted train step (everything else a dataset
+# carries — raw paths, strings, host-only metadata — stays off-device).
+# teacher_mu/teacher_unc are the optional distillation targets stamped by
+# train.distill.add_teacher_targets.
+BATCH_KEYS = ("audio", "video", "text", "labels", "teacher_mu", "teacher_unc")
+
+
 class DEERTrainer:
     def __init__(
         self,
@@ -297,7 +313,7 @@ class DEERTrainer:
             arrays = {
                 k: v
                 for k, v in dataset.arrays.items()
-                if k in ("audio", "video", "text", "labels")
+                if k in BATCH_KEYS
             }
             nbytes = sum(v.nbytes for v in arrays.values())
             if nbytes > self.STAGE_BYTES_LIMIT:
@@ -321,6 +337,12 @@ class DEERTrainer:
         if key in self._combined_cache:
             return self._combined_cache[key]
         names = sorted(datasets)
+        # Optional keys (teacher targets) only survive if EVERY dataset has
+        # them — a partial column would misalign the global gather indices.
+        common = [
+            k for k in BATCH_KEYS
+            if all(k in d.arrays for d in datasets.values())
+        ]
         arrays: dict[str, list] = {}
         offsets: dict[str, int] = {}
         total = 0
@@ -328,7 +350,7 @@ class DEERTrainer:
             d = datasets[n]
             offsets[n] = total
             total += len(d)
-            for k in ("audio", "video", "text", "labels"):
+            for k in common:
                 arrays.setdefault(k, []).append(d.arrays[k])
         combined = {k: np.concatenate(v) for k, v in arrays.items()}
         if sum(v.nbytes for v in combined.values()) > self.STAGE_BYTES_LIMIT:
@@ -487,9 +509,27 @@ class DEERTrainer:
             )
             total = total + cfg.aleatoric_moment_weight * moment_loss
 
+        # Distillation terms (batch keys are static per-compilation, so this
+        # Python branch specializes the jitted step per dataset shape).
+        distill_mu = jnp.asarray(0.0)
+        distill_unc = jnp.asarray(0.0)
+        if "teacher_mu" in batch:
+            distill_mu = jnp.mean(
+                jnp.square(out["mu_all"] - batch["teacher_mu"])
+            )
+            distill_unc = jnp.mean(jnp.square(
+                jnp.log(out["uncertainty_all"] + 1e-4)
+                - jnp.log(batch["teacher_unc"] + 1e-4)
+            ))
+            total = (total
+                     + cfg.distill_mu_weight * distill_mu
+                     + cfg.distill_unc_weight * distill_unc)
+
         total = total * dataset_weight
         aux = {
             "loss": total,
+            "distill_mu": distill_mu,
+            "distill_unc": distill_unc,
             "nll": loss_out.get(
                 f"{dim_names[0]}_nll_loss", jnp.asarray(0.0)
             ),
@@ -591,7 +631,7 @@ class DEERTrainer:
 
     def _put(self, batch: dict) -> dict:
         arrays = {
-            k: v for k, v in batch.items() if k in ("audio", "video", "text", "labels")
+            k: v for k, v in batch.items() if k in BATCH_KEYS
         }
         if self.mesh is not None:
             if self.runtime is not None and self.runtime.process_count > 1:
