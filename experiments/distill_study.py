@@ -1,12 +1,19 @@
 #!/usr/bin/env python
 """Serving-compression study: distill the flagship into a small student.
 
-Trains the flagship teacher on the synthetic benchmark, then trains two
-copies of a much smaller student — one from scratch, one with
-uncertainty-aware distillation (train.distill) — and compares CCC,
-uncertainty-error correlation, calibrated ECE, and parameter count.
-The question the table answers: how much accuracy+uncertainty quality does a
-serving deployment keep when it shrinks the model ~10x?
+Scenario (the one where compression is actually bought with distillation):
+labels are scarce, unlabeled media is abundant. The flagship teacher is
+trained on the small labeled set; a ~9x-smaller serving student is trained
+(a) from scratch on the same labeled set, and (b) distilled — labeled set
+plus the unlabeled pool pseudo-labeled by the teacher (teacher mu as the
+regression target, teacher uncertainty matched in log space via
+TrainingConfig.distill_*_weight). Compares CCC, uncertainty-error
+correlation, calibrated ECE, and parameter count.
+
+With abundant labels the scratch student already matches the teacher on
+this benchmark (measured: 0.923 vs 0.934 CCC at 65k labels) — the
+interesting question is how much of the capacity gap distillation recovers
+when labels, not params, are the bottleneck.
 
 Writes experiments/RESULTS_distill.{md,json}.
 `--quick` runs a CPU-sized smoke (small data, few epochs).
@@ -24,9 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--n_train", type=int, default=65536)
+    p.add_argument("--n_labeled", type=int, default=8192)
+    p.add_argument("--n_unlabeled", type=int, default=57344)
     p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--distill_mu_weight", type=float, default=1.0)
     p.add_argument("--distill_unc_weight", type=float, default=0.5)
     p.add_argument("--out", default="experiments/RESULTS_distill")
@@ -47,7 +55,8 @@ def main(argv=None) -> int:
 
     platform = jax.devices()[0].platform
     if args.quick:
-        args.n_train, args.epochs, args.batch_size = 4096, 10, 256
+        args.n_labeled, args.n_unlabeled = 1024, 3072
+        args.epochs, args.batch_size = 10, 256
 
     dtype = "bfloat16" if platform == "tpu" else "float32"
     teacher_cfg = DEERModelConfig(compute_dtype=dtype)
@@ -57,22 +66,25 @@ def main(argv=None) -> int:
         attention_heads=4, compute_dtype=dtype,
     )
 
+    n_total = args.n_labeled + args.n_unlabeled
     splits = make_synthetic_splits(SyntheticConfig(
-        n_train=args.n_train, n_val=max(2048, args.n_train // 16),
-        n_test=max(2048, args.n_train // 16),
+        n_train=n_total, n_val=max(2048, n_total // 16),
+        n_test=max(2048, n_total // 16),
     ))
-    train = ArrayDataset(splits["train"], "synthetic")
+    full = splits["train"]
+    labeled = ArrayDataset(
+        {k: v[: args.n_labeled] for k, v in full.items()}, "labeled")
     val = ArrayDataset(splits["val"], "synthetic")
     test = splits["test"]
 
-    def make_trainer(model, params, seed, **overrides):
+    def make_trainer(model, params, train_len, seed, **overrides):
         cfg = TrainingConfig(
-            learning_rate=1e-3, batch_size=args.batch_size,
+            learning_rate=2e-3, batch_size=args.batch_size,
             num_epochs=args.epochs, warmup_epochs=2, scheduler="cosine",
             val_frequency=max(1, args.epochs // 6),
             early_stopping_patience=10**9, seed=seed, **overrides,
         )
-        steps = max(1, len(train) // args.batch_size)
+        steps = max(1, train_len // args.batch_size)
         return DEERTrainer(model, params, cfg, steps_per_epoch=steps)
 
     def evaluate(model, trainer, name):
@@ -102,38 +114,61 @@ def main(argv=None) -> int:
     t0 = time.time()
     rows = []
 
+    # Teacher and scratch student see only the labeled subset.
     tmodel, tparams = create_complete_deer_model(teacher_cfg, seed=0)
-    t_tr = make_trainer(tmodel, tparams, seed=0)
-    t_tr.train({"synthetic": train}, {"synthetic": val})
+    t_tr = make_trainer(tmodel, tparams, len(labeled), seed=0)
+    t_tr.train({"labeled": labeled}, {"synthetic": val})
     rows.append(evaluate(tmodel, t_tr, "teacher (flagship)"))
 
     smodel, sparams = create_complete_deer_model(student_cfg, seed=1)
-    s_tr = make_trainer(smodel, sparams, seed=1)
-    s_tr.train({"synthetic": train}, {"synthetic": val})
+    s_tr = make_trainer(smodel, sparams, len(labeled), seed=1)
+    s_tr.train({"labeled": labeled}, {"synthetic": val})
     rows.append(evaluate(smodel, s_tr, "student from scratch"))
 
-    stamped = add_teacher_targets(tmodel, t_tr.state.params, train,
+    # Distilled student: labeled set + the unlabeled pool pseudo-labeled by
+    # the teacher. True labels of the unlabeled part are REPLACED by teacher
+    # mu (they would be unavailable in the real scenario); teacher arrays
+    # ride along for the distillation terms on every row.
+    full_ds = ArrayDataset(dict(full), "distill")
+    stamped = add_teacher_targets(tmodel, t_tr.state.params, full_ds,
                                   batch_size=args.batch_size)
+    pseudo = dict(stamped.arrays)
+    pseudo["labels"] = np.concatenate([
+        pseudo["labels"][: args.n_labeled],
+        pseudo["teacher_mu"][args.n_labeled:],
+    ]).astype(np.float32)
+    stamped = ArrayDataset(pseudo, "distill")
+
     dmodel, dparams = create_complete_deer_model(student_cfg, seed=1)
     d_tr = make_trainer(
-        dmodel, dparams, seed=1,
+        dmodel, dparams, len(stamped), seed=1,
         distill_mu_weight=args.distill_mu_weight,
         distill_unc_weight=args.distill_unc_weight,
     )
-    d_tr.train({"synthetic": stamped}, {"synthetic": val})
-    rows.append(evaluate(dmodel, d_tr, "student distilled"))
+    d_tr.train({"distill": stamped}, {"synthetic": val})
+    rows.append(evaluate(dmodel, d_tr, "student distilled (+unlabeled)"))
 
     elapsed = time.time() - t0
     ratio = rows[0]["params"] / rows[2]["params"]
+    gap = rows[0]["ccc_avg"] - rows[1]["ccc_avg"]
+    recovered = (rows[2]["ccc_avg"] - rows[1]["ccc_avg"]) / gap if gap > 1e-9 else 0.0
     md = [
         "# Uncertainty-aware distillation — computed results",
         "",
-        f"- platform: **{platform}**, {args.n_train} train samples, "
+        f"- platform: **{platform}**, {args.n_labeled} labeled + "
+        f"{args.n_unlabeled} unlabeled train samples, "
         f"{args.epochs} epochs per model, {elapsed:.0f}s total",
         f"- teacher {rows[0]['params']:,} params -> student "
-        f"{rows[2]['params']:,} params ({ratio:.1f}x smaller); same data, "
-        "same budget, only the distillation terms differ between the two "
-        "students",
+        f"{rows[2]['params']:,} params ({ratio:.1f}x smaller for serving); "
+        "teacher and scratch student see only the labeled set; the "
+        "distilled student also trains on the unlabeled pool pseudo-labeled "
+        "by the teacher (mu as target, uncertainty matched in log space)",
+        (f"- distillation closes the teacher-vs-scratch-student CCC gap "
+         f"entirely and **surpasses the teacher** (pseudo-label "
+         f"regularization; {recovered:.0%} of the gap recovered)"
+         if recovered > 1.0 else
+         f"- distillation recovers **{recovered:.0%}** of the "
+         f"teacher-vs-scratch-student CCC gap"),
         "- ECE uses the deployable calibrated uncertainty with a post-hoc "
         "scale fit on the validation split",
         "",
