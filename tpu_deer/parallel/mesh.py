@@ -109,10 +109,25 @@ def fsdp_sharding_rules(path: tuple, leaf, data_size: int) -> P:
     return P(*spec)
 
 
-PARAM_SHARDING_MODES = ("tp", "fsdp", "replicated")
+def ensemble_sharding_rules(path: tuple, leaf, model_size: int) -> P:
+    """Deep-ensemble layout: every parameter carries a leading MEMBER axis
+    (stacked by train/ensemble.py) — shard it over 'model'. Members never
+    exchange activations or gradients, so this is embarrassingly parallel:
+    K members on D devices run K/D fully independent models with ZERO
+    cross-member collectives (the only mesh traffic is the batch broadcast
+    over 'model' and the DP gradient psum over 'data').
+
+    Member counts not divisible by the axis extent stay replicated rather
+    than padding the stack."""
+    if leaf.ndim >= 1 and model_size > 1 and leaf.shape[0] % model_size == 0:
+        return P(*(["model"] + [None] * (leaf.ndim - 1)))
+    return P()
 
 
-def param_spec(path: tuple, leaf, mode: str, data_size: int) -> P:
+PARAM_SHARDING_MODES = ("tp", "fsdp", "replicated", "ensemble")
+
+
+def param_spec(path: tuple, leaf, mode: str, data_size: int, model_size: int = 1) -> P:
     """Single dispatch point for the parameter-layout modes (used by both
     single-host shard_params and the multi-host runtime). Raises on an
     unknown mode — a typo must not silently train with the TP layout."""
@@ -120,6 +135,8 @@ def param_spec(path: tuple, leaf, mode: str, data_size: int) -> P:
         return param_sharding_rules(path, leaf)
     if mode == "fsdp":
         return fsdp_sharding_rules(path, leaf, data_size)
+    if mode == "ensemble":
+        return ensemble_sharding_rules(path, leaf, model_size)
     if mode == "replicated":
         return P()
     raise ValueError(
@@ -133,12 +150,14 @@ def shard_params(params, mesh: Mesh, mode: str = "tp"):
 
     mode: 'tp' (default — TP kernels over 'model', rest replicated),
     'fsdp' (every large param sharded over 'data', composed with TP),
+    'ensemble' (leading member axis over 'model' — see train/ensemble.py),
     'replicated' (everything everywhere).
     """
     data_size = mesh.shape.get("data", 1)
+    model_size = mesh.shape.get("model", 1)
 
     def place(path, leaf):
-        spec = param_spec(path, leaf, mode, data_size)
+        spec = param_spec(path, leaf, mode, data_size, model_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -94,7 +94,8 @@ class DistributedRuntime:
 
     def put_params(self, params: Any, mesh: Mesh, mode: str = "tp") -> Any:
         """Place a parameter pytree on the global mesh per the layout rules
-        (mode: 'tp' | 'fsdp' | 'replicated', see parallel.mesh.shard_params).
+        (mode: 'tp' | 'fsdp' | 'replicated' | 'ensemble', see
+        parallel.mesh.shard_params).
         Every process holds the full host copy; each contributes the shards
         its own devices own (make_array_from_callback), so this works
         across processes where plain device_put cannot."""
@@ -106,9 +107,10 @@ class DistributedRuntime:
         from tpu_deer.parallel.mesh import param_spec
 
         data_size = mesh.shape.get("data", 1)
+        model_size = mesh.shape.get("model", 1)
 
         def place(path, leaf):
-            spec = param_spec(path, leaf, mode, data_size)
+            spec = param_spec(path, leaf, mode, data_size, model_size)
             sharding = NamedSharding(mesh, spec)
             leaf = np.asarray(leaf)
             return jax.make_array_from_callback(

@@ -422,7 +422,7 @@ class DEERTrainer:
             },
             _encoder_label_fn(params, tuple(cfg.frozen_prefixes)),
         )
-        parts = [optax.clip_by_global_norm(cfg.gradient_clip), tx]
+        parts = [self._clip_transform(), tx]
         if cfg.ema_decay > 0:
             parts.append(_ema_tracker(cfg.ema_decay))
         tx = optax.chain(*parts)
@@ -433,6 +433,13 @@ class DEERTrainer:
             # zeroed gradient to the mean (see skip_nonfinite_updates).
             tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
         return tx
+
+    def _clip_transform(self) -> optax.GradientTransformation:
+        """Gradient clipping stage of the optimizer chain. A separate method
+        so EnsembleTrainer can substitute a per-member clip (the global norm
+        over a stacked member tree would couple otherwise-independent
+        members)."""
+        return optax.clip_by_global_norm(self.config.gradient_clip)
 
     def _wrap_dropout_rng(self, rng):
         """Reinterpret the raw uint32 key under the configured PRNG impl.
