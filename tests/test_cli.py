@@ -191,3 +191,46 @@ class TestResume:
         r2 = p2.run_training()
         # Continued, not restarted: the step counter advanced past run 1.
         assert r2["final_step"] > r1["final_step"]
+
+
+class TestEnsembleCLI:
+    def test_ensemble_members_trains_stacked_model(self, tmp_path):
+        """training.ensemble_members=2 (the --ensemble 2 flag) builds a
+        stacked 2-member tree, trains it through the normal pipeline stages,
+        and evaluates with the moment-matched combined prediction."""
+        import jax
+
+        p = MultimodalDEERPipeline(
+            output_dir=str(tmp_path),
+            experiment_name="ens",
+            quick=True,
+            overrides={
+                "model.encoder_dim": 32,
+                "model.fusion_dim": 64,
+                "model.encoder_layers": 1,
+                "training.num_epochs": 2,
+                "training.batch_size": 32,
+                "training.ensemble_members": 2,
+            },
+        )
+        p.create_model()
+        from tpu_deer.train.ensemble import EnsembleTrainer
+
+        assert all(
+            l.shape[0] == 2 for l in jax.tree_util.tree_leaves(p.params)
+        )
+        p.create_datasets()
+        p.create_trainer()
+        assert isinstance(p.trainer, EnsembleTrainer)
+        p.run_training()
+        results = p.run_evaluation()
+        ccc = results["synthetic"]["ccc_average"]
+        assert ccc == ccc  # finite (not NaN)
+
+    def test_ensemble_flag_parses_and_export_rejects(self):
+        args = main.__globals__["build_arg_parser"]().parse_args(
+            ["--ensemble", "4"]
+        )
+        assert args.ensemble == 4
+        with pytest.raises(SystemExit, match="training-time option"):
+            main(["--mode", "export", "--ensemble", "2"])

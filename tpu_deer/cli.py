@@ -126,11 +126,28 @@ class MultimodalDEERPipeline:
             fusion_type=str(m.get("fusion_type", "hierarchical")),
             moe_experts=int(m.get("moe_experts", 4)),
         )
-        self.model, self.params = create_complete_deer_model(
-            self.model_config, seed=self.seed
+        self.ensemble_members = int(
+            self.config["training"].get("ensemble_members", 1)
         )
-        n_params = count_parameters(self.params)
-        logger.info(f"model created: {n_params:,} parameters")
+        if self.ensemble_members > 1:
+            from tpu_deer.train.ensemble import create_deer_ensemble
+
+            self.model, self.params = create_deer_ensemble(
+                self.model_config, n_members=self.ensemble_members,
+                seed=self.seed,
+            )
+            n_params = count_parameters(self.params)
+            logger.info(
+                f"deep ensemble created: {self.ensemble_members} members, "
+                f"{n_params:,} total parameters "
+                f"({n_params // self.ensemble_members:,} per member)"
+            )
+        else:
+            self.model, self.params = create_complete_deer_model(
+                self.model_config, seed=self.seed
+            )
+            n_params = count_parameters(self.params)
+            logger.info(f"model created: {n_params:,} parameters")
         return self.model
 
     def create_datasets(self):
@@ -201,10 +218,18 @@ class MultimodalDEERPipeline:
             len(d) // self.training_config.batch_size
             for d in self.datasets["train"].values()
         )
-        self.trainer = DEERTrainer(
-            self.model, self.params, self.training_config,
-            steps_per_epoch=max(1, steps), mesh=self.mesh,
-        )
+        if getattr(self, "ensemble_members", 1) > 1:
+            from tpu_deer.train.ensemble import EnsembleTrainer
+
+            self.trainer = EnsembleTrainer(
+                self.model, self.params, self.training_config,
+                steps_per_epoch=max(1, steps), mesh=self.mesh,
+            )
+        else:
+            self.trainer = DEERTrainer(
+                self.model, self.params, self.training_config,
+                steps_per_epoch=max(1, steps), mesh=self.mesh,
+            )
         return self.trainer
 
     # -- stages ----------------------------------------------------------
@@ -562,6 +587,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "with the Pallas audio front-end in-graph "
                         "(datasets.raw_root in the config, or a generated "
                         "fixture)")
+    p.add_argument("--ensemble", type=int, default=None, metavar="K",
+                   help="train a K-member deep ensemble (all members in one "
+                        "vmapped XLA program; predictions moment-matched, "
+                        "cross-member disagreement added to the epistemic "
+                        "channel). Equivalent to training.ensemble_members "
+                        "in the config")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="--mode export: bake the int8 serving path into "
@@ -595,6 +626,14 @@ def main(argv=None) -> int:
         overrides["training.batch_size"] = args.batch_size
     if args.learning_rate is not None:
         overrides["training.learning_rate"] = args.learning_rate
+    if args.ensemble is not None:
+        if args.mode == "export":
+            raise SystemExit(
+                "--ensemble is a training-time option; --mode export serves "
+                "a single parameter tree. Export one member via "
+                "EnsembleTrainer.member_params(k) + export_inference()."
+            )
+        overrides["training.ensemble_members"] = args.ensemble
 
     pipeline = MultimodalDEERPipeline(
         config_path=args.config,
