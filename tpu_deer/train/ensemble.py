@@ -188,6 +188,14 @@ class EnsembleTrainer(DEERTrainer):
             "loss": jnp.mean(member["loss"]),
         }
 
+    def predict_mc_dropout(self, *args, **kwargs):
+        raise NotImplementedError(
+            "MC dropout over a stacked ensemble is not supported — the "
+            "ensemble's cross-member disagreement already provides the "
+            "sampling-based epistemic signal. Run predict_mc_dropout on a "
+            "single member via DEERTrainer(model, member_params(k), ...)."
+        )
+
     # -- member access -------------------------------------------------------
     def member_params(self, k: int):
         """Parameter tree of member `k` (e.g. to serve one member, or to

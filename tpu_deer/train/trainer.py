@@ -273,6 +273,7 @@ class DEERTrainer:
         }
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._mc_step = None  # built lazily by predict_mc_dropout
         # Device-resident data: datasets are staged in HBM once and batches
         # are gathered ON DEVICE from a tiny [B] int32 index vector — the
         # host→device path carries indices, not features. (Single-device
@@ -977,6 +978,91 @@ class DEERTrainer:
         for idx, mask_arr in it.epoch_indices(0):
             batch = self._batch_from_indices(dataset, idx)
             out = self._eval_step(params, batch)
+            masks.append(mask_arr.astype(bool))
+            for k in ("mu", "uncertainty", "calibrated_uncertainty", "aleatoric", "epistemic"):
+                outs.setdefault(k, []).append(np.asarray(out[k]))
+        mask = np.concatenate(masks)
+        return {k: np.concatenate(v)[mask] for k, v in outs.items()}
+
+    def predict_mc_dropout(
+        self,
+        dataset: ArrayDataset,
+        n_samples: int = 16,
+        batch_size: Optional[int] = None,
+        seed: int = 0,
+    ) -> dict:
+        """Monte-Carlo-dropout predictive uncertainty (Gal & Ghahramani 2016)
+        — the other classic baseline the evidential literature (and the
+        reference's own motivation, reference src/models/deer.py:1-20)
+        compares NIG heads against.
+
+        TPU shape: the S stochastic forwards are vmapped over S dropout keys
+        inside ONE jitted program per batch — the model's GEMMs become
+        S-times batched, not S dispatches. Combination is moment matching
+        over the MC samples (mirroring train/ensemble.py): mu = sample mean;
+        aleatoric = mean NIG aleatoric; epistemic = mean NIG epistemic +
+        variance of sample means (the dropout-induced disagreement).
+
+        Under the default rng_impl="rbg" the batched draws differ from an
+        unbatched loop's (documented JAX property of the rbg PRNGs) but stay
+        deterministic per seed; under "threefry2x32" they match a host loop
+        bit-for-bit.
+        """
+        if n_samples < 1:
+            raise ValueError(f"n_samples must be >= 1, got {n_samples}")
+        if self._mc_step is None:
+            def mc_step(params, batch, keys):
+                if self.config.rng_impl and self.config.rng_impl != "threefry2x32":
+                    keys = jax.random.wrap_key_data(
+                        jnp.concatenate([keys, keys], axis=-1).astype(jnp.uint32),
+                        impl=self.config.rng_impl,
+                    )
+
+                def one(key):
+                    out = self.model.apply(
+                        {"params": params},
+                        batch["audio"], batch["video"], batch["text"],
+                        deterministic=False, rngs={"dropout": key},
+                    )
+                    dim_names = self.model.config.dim_names
+                    return {
+                        "mu": out["mu_all"],
+                        "aleatoric": jnp.concatenate(
+                            [out[f"{n}_aleatoric_uncertainty"] for n in dim_names],
+                            axis=-1,
+                        ),
+                        "epistemic": jnp.concatenate(
+                            [out[f"{n}_epistemic_uncertainty"] for n in dim_names],
+                            axis=-1,
+                        ),
+                        "calibrated": out["calibrated_uncertainty"],
+                    }
+
+                s = jax.vmap(one)(keys)
+                mu = jnp.mean(s["mu"], axis=0)
+                disagreement = jnp.var(s["mu"], axis=0)
+                aleatoric = jnp.mean(s["aleatoric"], axis=0)
+                epistemic = jnp.mean(s["epistemic"], axis=0) + disagreement
+                return {
+                    "mu": mu,
+                    "aleatoric": aleatoric,
+                    "epistemic": epistemic,
+                    "uncertainty": aleatoric + epistemic,
+                    "calibrated_uncertainty": (
+                        jnp.mean(s["calibrated"], axis=0) + disagreement
+                    ),
+                }
+
+            self._mc_step = jax.jit(mc_step)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_samples)
+        params = self.state.params
+        it = BatchIterator(dataset, batch_size or self.config.batch_size, shuffle=False)
+        outs: dict[str, list] = {}
+        masks = []
+        for idx, mask_arr in it.epoch_indices(0):
+            batch = self._batch_from_indices(dataset, idx)
+            out = self._mc_step(params, batch, keys)
             masks.append(mask_arr.astype(bool))
             for k in ("mu", "uncertainty", "calibrated_uncertainty", "aleatoric", "epistemic"):
                 outs.setdefault(k, []).append(np.asarray(out[k]))
