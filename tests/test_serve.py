@@ -123,3 +123,82 @@ class TestQuantizedServing:
                 assert s.shape == (q.shape[1],)
         out = q_engine.predict(*_req(rng, 1))
         assert np.all(np.isfinite(out["mu"]))
+
+
+class TestEnsembleServing:
+    @pytest.fixture(scope="class")
+    def ens(self):
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        model, stacked = create_deer_ensemble(CFG, n_members=3, seed=0)
+        return model, stacked
+
+    def test_combined_matches_member_moment_matching(self, ens, rng):
+        """Served ensemble output == moment matching over K single-member
+        engines (same formulas as EnsembleTrainer's eval)."""
+        import jax
+
+        model, stacked = ens
+        engine = InferenceEngine(
+            model, stacked, batch_buckets=(1, 4, 16), ensemble=True
+        )
+        a, v, t = _req(rng, 4)
+        out = engine.predict(a, v, t)
+        assert out["mu"].shape == (4, 3)
+
+        member_out = []
+        for k in range(3):
+            pk = jax.tree_util.tree_map(lambda x: x[k], stacked)
+            ek = InferenceEngine(model, pk, batch_buckets=(4,))
+            member_out.append(ek.predict(a, v, t))
+        mu = np.mean([m["mu"] for m in member_out], axis=0)
+        alea = np.mean([m["aleatoric"] for m in member_out], axis=0)
+        dis = np.var([m["mu"] for m in member_out], axis=0)
+        epi = np.mean([m["epistemic"] for m in member_out], axis=0) + dis
+        np.testing.assert_allclose(out["mu"], mu, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out["aleatoric"], alea, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out["epistemic"], epi, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            out["uncertainty"], alea + epi, rtol=1e-4, atol=1e-6
+        )
+
+    def test_rejects_unstacked_params(self):
+        model, params = create_complete_deer_model(CFG, seed=0)
+        with pytest.raises(ValueError, match="stacked member tree"):
+            InferenceEngine(model, params, ensemble=True)
+
+    def test_rejects_int8_ensemble(self, ens):
+        model, stacked = ens
+        with pytest.raises(NotImplementedError, match="int8"):
+            InferenceEngine(model, stacked, ensemble=True,
+                            quantize_weights=True)
+
+    def test_from_checkpoint_ensemble(self, ens, tmp_path, rng):
+        from tpu_deer.train.checkpoint import CheckpointManager
+        from tpu_deer.train.ensemble import EnsembleTrainer
+        from tpu_deer.train.trainer import TrainingConfig
+
+        model, stacked = ens
+        tr = EnsembleTrainer(
+            model, stacked,
+            TrainingConfig(batch_size=32, num_epochs=1, warmup_epochs=0),
+            steps_per_epoch=2,
+        )
+        ckpt = CheckpointManager(str(tmp_path))
+        ckpt.save(tr.state, step=1)
+        engine = InferenceEngine.from_checkpoint(
+            str(tmp_path), config=CFG, step=1, ensemble_members=3,
+            batch_buckets=(4,),
+        )
+        assert engine.ensemble
+        out = engine.predict(*_req(rng, 4))
+        assert out["mu"].shape == (4, 3)
+        # restored == the trainer's own stacked params (same combined mu)
+        direct = InferenceEngine(
+            model, tr.state.params, batch_buckets=(4,), ensemble=True
+        )
+        a, v, t = _req(rng, 4)
+        np.testing.assert_allclose(
+            engine.predict(a, v, t)["mu"], direct.predict(a, v, t)["mu"],
+            rtol=1e-5, atol=1e-6,
+        )

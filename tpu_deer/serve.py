@@ -70,8 +70,31 @@ class InferenceEngine:
         params,
         batch_buckets: Sequence[int] = DEFAULT_BUCKETS,
         quantize_weights: bool = False,
+        ensemble: bool = False,
     ):
         self.model = model
+        # ensemble=True serves a stacked K-member tree (train/ensemble.py):
+        # the member forwards are vmapped inside the one jitted program (the
+        # serving GEMMs become K-times batched, still a single dispatch per
+        # request batch) and combined by moment matching — identical
+        # formulas to EnsembleTrainer's eval, so serving returns the same
+        # numbers training-side evaluation saw.
+        self.ensemble = bool(ensemble)
+        if self.ensemble and quantize_weights:
+            raise NotImplementedError(
+                "int8 serving of a stacked ensemble is not supported yet — "
+                "quantize_tree's per-channel scales cover 2-D kernels only. "
+                "Serve one member int8 via EnsembleTrainer.member_params(k)."
+            )
+        if self.ensemble:
+            leaves = jax.tree_util.tree_leaves(params)
+            if not leaves or any(
+                l.shape[:1] != leaves[0].shape[:1] for l in leaves
+            ):
+                raise ValueError(
+                    "ensemble=True expects a stacked member tree from "
+                    "create_deer_ensemble() (shared leading member axis)"
+                )
         self.quantized = bool(quantize_weights)
         if quantize_weights:
             # int8 per-channel weights stay int8 ON DEVICE: the dequantize
@@ -86,11 +109,7 @@ class InferenceEngine:
             self.params = jax.device_put(params)
         self.buckets = sorted(batch_buckets)
 
-        def forward(params, audio, video, text):
-            if self.quantized:
-                from tpu_deer.ops.quantization import dequantize_tree_device
-
-                params = dequantize_tree_device(*params)
+        def single(params, audio, video, text):
             out = model.apply(
                 {"params": params}, audio, video, text, deterministic=True
             )
@@ -115,6 +134,34 @@ class InferenceEngine:
                 "attention_weights": out["attention_weights"],
             }
 
+        def forward(params, audio, video, text):
+            if self.quantized:
+                from tpu_deer.ops.quantization import dequantize_tree_device
+
+                params = dequantize_tree_device(*params)
+            if not self.ensemble:
+                return single(params, audio, video, text)
+            member = jax.vmap(
+                lambda p: single(p, audio, video, text)
+            )(params)
+            mu = jnp.mean(member["mu"], axis=0)
+            aleatoric = jnp.mean(member["aleatoric"], axis=0)
+            disagreement = jnp.var(member["mu"], axis=0)
+            epistemic = jnp.mean(member["epistemic"], axis=0) + disagreement
+            return {
+                "mu": mu,
+                "uncertainty": aleatoric + epistemic,
+                "calibrated_uncertainty": (
+                    jnp.mean(member["calibrated_uncertainty"], axis=0)
+                    + disagreement
+                ),
+                "aleatoric": aleatoric,
+                "epistemic": epistemic,
+                "attention_weights": jnp.mean(
+                    member["attention_weights"], axis=0
+                ),
+            }
+
         self._forward = jax.jit(forward)
 
     @classmethod
@@ -123,13 +170,25 @@ class InferenceEngine:
         checkpoint_dir: str,
         config: Optional[DEERModelConfig] = None,
         step="best",
+        ensemble_members: int = 1,
         **kwargs,
     ) -> "InferenceEngine":
+        """ensemble_members=K restores a stacked K-member checkpoint
+        (written by an EnsembleTrainer / `cli --ensemble K` run) and serves
+        the moment-matched combined prediction."""
         from tpu_deer.models.deer_model import create_complete_deer_model
         from tpu_deer.train.checkpoint import CheckpointManager
 
         config = config or DEERModelConfig()
-        model, params = create_complete_deer_model(config, seed=0)
+        if ensemble_members > 1:
+            from tpu_deer.train.ensemble import create_deer_ensemble
+
+            model, params = create_deer_ensemble(
+                config, n_members=ensemble_members, seed=0
+            )
+            kwargs.setdefault("ensemble", True)
+        else:
+            model, params = create_complete_deer_model(config, seed=0)
         ckpt = CheckpointManager(checkpoint_dir)
         restored = ckpt.restore_params(params, step=step)
         return cls(model, restored, **kwargs)
