@@ -567,3 +567,56 @@ class TestCloseWhileBusy:
             mb.submit(np.zeros((1, 4), np.float32),
                       np.zeros((1, 4), np.float32),
                       np.zeros((1, 4), np.float32))
+
+
+class TestEnsembleServer:
+    def test_serve_ensemble_checkpoint(self, tmp_path):
+        """--ensemble K path: the service comes up on a stacked checkpoint
+        and /predict returns the moment-matched combined prediction."""
+        from tpu_deer.train.checkpoint import CheckpointManager
+        from tpu_deer.train.ensemble import EnsembleTrainer, create_deer_ensemble
+        from tpu_deer.train.trainer import TrainingConfig
+
+        model, stacked = create_deer_ensemble(SMALL, n_members=2, seed=0)
+        tr = EnsembleTrainer(
+            model, stacked,
+            TrainingConfig(batch_size=32, num_epochs=1, warmup_epochs=0),
+            steps_per_epoch=2,
+        )
+        ckpt = CheckpointManager(str(tmp_path))
+        ckpt.save(tr.state, step=1)
+
+        service = PredictionService.from_checkpoint(
+            str(tmp_path), config=SMALL, step=1, ensemble_members=2,
+            batch_buckets=(1, 4),
+        )
+        server = serve(service, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f"http://127.0.0.1:{server.server_address[1]}"
+            rng = np.random.default_rng(0)
+            feats = rng.standard_normal((2, 16)).tolist()
+            out = _post(url, {"audio": feats, "video": feats, "text": feats})
+            assert np.asarray(out["mu"]).shape == (2, 3)
+            assert np.all(np.asarray(out["uncertainty"]) > 0)
+        finally:
+            server.shutdown()
+
+    def test_streaming_rejects_ensemble(self, tmp_path):
+        from tpu_deer.train.checkpoint import CheckpointManager
+        from tpu_deer.train.ensemble import EnsembleTrainer, create_deer_ensemble
+        from tpu_deer.train.trainer import TrainingConfig
+
+        model, stacked = create_deer_ensemble(SMALL, n_members=2, seed=0)
+        tr = EnsembleTrainer(
+            model, stacked,
+            TrainingConfig(batch_size=32, num_epochs=1, warmup_epochs=0),
+            steps_per_epoch=2,
+        )
+        CheckpointManager(str(tmp_path)).save(tr.state, step=1)
+        with pytest.raises(ValueError, match="single parameter tree"):
+            PredictionService.from_checkpoint(
+                str(tmp_path), config=SMALL, step=1, ensemble_members=2,
+                stream_slots=2,
+            )

@@ -514,6 +514,11 @@ class PredictionService:
         )
         streaming = None
         if stream_slots:
+            if engine.ensemble:
+                raise ValueError(
+                    "streaming sessions serve a single parameter tree — "
+                    "pass a single-member checkpoint (or member_params(k))"
+                )
             params = engine.params
             if engine.quantized:
                 import jax
@@ -743,14 +748,26 @@ def main(argv=None) -> int:
                    help="conformal quantile JSON (the CLI evaluate stage's "
                         "results/conformal.json); /predict responses gain "
                         "interval_lower/interval_upper with 1-alpha coverage")
+    p.add_argument("--ensemble", type=int, default=1, metavar="K",
+                   help="serve a stacked K-member deep-ensemble checkpoint "
+                        "(from cli --ensemble K): members vmapped in one "
+                        "dispatch, moment-matched predictions (checkpoint "
+                        "source only)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     mb = dict(micro_batch=args.micro_batch, max_batch=args.max_batch,
               max_wait_ms=args.max_wait_ms)
+    if args.ensemble > 1 and not args.checkpoint:
+        p.error("--ensemble requires --checkpoint (AOT artifacts are "
+                "exported per member)")
+    if args.ensemble > 1 and args.stream_slots:
+        p.error("--stream_slots serves a single parameter tree; serve one "
+                "ensemble member for streaming")
     if args.checkpoint:
         service = PredictionService.from_checkpoint(
-            args.checkpoint, stream_slots=args.stream_slots, **mb
+            args.checkpoint, stream_slots=args.stream_slots,
+            ensemble_members=args.ensemble, **mb
         )
         if not args.no_warmup:
             service.engine.warmup()
