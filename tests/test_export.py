@@ -128,3 +128,46 @@ class TestQuantizedExport:
         # int8 payload actually landed in the artifact
         flat = dict(np.load(os.path.join(out, "params.npz")))
         assert any(val.dtype == np.int8 for val in flat.values())
+
+
+class TestEnsembleExport:
+    def test_exported_ensemble_matches_live_engine(self, tmp_path, rng):
+        """Exported stacked-ensemble artifact == the live-jit ensemble
+        engine's moment-matched outputs, loaded without model code."""
+        from tpu_deer.serve import InferenceEngine
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        model, stacked = create_deer_ensemble(SMALL, n_members=3, seed=0)
+        out = str(tmp_path / "ens_art")
+        manifest = export_inference(
+            model, stacked, out, batch_buckets=(1, 4), ensemble=True
+        )
+        assert manifest["ensemble_members"] == 3
+
+        engine = load_exported(out)
+        live = InferenceEngine(
+            model, stacked, batch_buckets=(1, 4), ensemble=True
+        )
+        a = rng.standard_normal((3, 16)).astype(np.float32)
+        v = rng.standard_normal((3, 16)).astype(np.float32)
+        t = rng.standard_normal((3, 16)).astype(np.float32)
+        got = engine.predict(a, v, t)
+        want = live.predict(a, v, t)
+        np.testing.assert_allclose(got["mu"], want["mu"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            got["uncertainty"], want["uncertainty"], rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            got["calibrated_uncertainty"], want["calibrated_uncertainty"],
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_int8_ensemble_rejected(self, tmp_path):
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        model, stacked = create_deer_ensemble(SMALL, n_members=2, seed=0)
+        with pytest.raises(NotImplementedError, match="int8"):
+            export_inference(
+                model, stacked, str(tmp_path / "x"), quantize=True,
+                ensemble=True,
+            )

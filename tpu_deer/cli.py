@@ -627,11 +627,11 @@ def main(argv=None) -> int:
     if args.learning_rate is not None:
         overrides["training.learning_rate"] = args.learning_rate
     if args.ensemble is not None:
-        if args.mode == "export":
+        if args.mode == "export" and args.int8:
             raise SystemExit(
-                "--ensemble is a training-time option; --mode export serves "
-                "a single parameter tree. Export one member via "
-                "EnsembleTrainer.member_params(k) + export_inference()."
+                "--int8 export of a stacked ensemble is not supported "
+                "(per-channel scales cover 2-D kernels only) — export one "
+                "member via EnsembleTrainer.member_params(k)."
             )
         overrides["training.ensemble_members"] = args.ensemble
 
@@ -691,12 +691,14 @@ def main(argv=None) -> int:
 
         out_dir = os.path.join(args.output_dir, "exported_model")
         manifest = export_inference(
-            pipeline.model, params, out_dir, quantize=args.int8
+            pipeline.model, params, out_dir, quantize=args.int8,
+            ensemble=getattr(pipeline, "ensemble_members", 1) > 1,
         )
         print(json.dumps(
             {"export_dir": out_dir,
              **{k: manifest[k]
-                for k in ("buckets", "platforms", "n_params", "quantized")}},
+                for k in ("buckets", "platforms", "n_params", "quantized",
+                          "ensemble_members")}},
             indent=2,
         ))
     return 0

@@ -66,6 +66,7 @@ def export_inference(
     batch_buckets: Sequence[int] = (1, 8, 64, 256),
     platforms: Optional[Sequence[str]] = None,
     quantize: bool = False,
+    ensemble: bool = False,
 ) -> dict:
     """Export the deterministic forward for each batch bucket.
 
@@ -76,9 +77,31 @@ def export_inference(
     params payload is per-channel int8 kernels + scales (~4x smaller on
     disk AND in serving HBM) and the dequantize is part of the exported
     StableHLO, fused into each matmul by the serving-side compiler.
+
+    `ensemble=True` exports a stacked K-member tree (train/ensemble.py):
+    the member forwards vmap inside the exported program and the outputs
+    are the moment-matched combination — combined uncertainty =
+    mean(member uncertainty) + var(member mu), identical to what
+    EnsembleTrainer evaluates — so the artifact keeps the standard
+    3-output calling convention.
     """
     os.makedirs(output_dir, exist_ok=True)
     cfg = model.config
+    if ensemble and quantize:
+        raise NotImplementedError(
+            "int8 export of a stacked ensemble is not supported — "
+            "quantize_tree's per-channel scales cover 2-D kernels only. "
+            "Export one member via EnsembleTrainer.member_params(k)."
+        )
+
+    def base(params, audio, video, text):
+        out = model.apply(
+            {"params": params}, audio, video, text, deterministic=True
+        )
+        return tuple(
+            out[k]
+            for k in ("mu_all", "uncertainty_all", "calibrated_uncertainty")
+        )
 
     if quantize:
         from tpu_deer.ops.quantization import (
@@ -87,25 +110,23 @@ def export_inference(
         )
 
         def forward(qs, audio, video, text):
-            out = model.apply(
-                {"params": dequantize_tree_device(*qs)},
-                audio, video, text, deterministic=True,
-            )
-            return tuple(
-                out[k]
-                for k in ("mu_all", "uncertainty_all", "calibrated_uncertainty")
+            return base(dequantize_tree_device(*qs), audio, video, text)
+
+    elif ensemble:
+
+        def forward(params, audio, video, text):
+            m_mu, m_unc, m_cal = jax.vmap(
+                lambda p: base(p, audio, video, text)
+            )(params)
+            disagreement = jnp.var(m_mu, axis=0)
+            return (
+                jnp.mean(m_mu, axis=0),
+                jnp.mean(m_unc, axis=0) + disagreement,
+                jnp.mean(m_cal, axis=0) + disagreement,
             )
 
     else:
-
-        def forward(params, audio, video, text):
-            out = model.apply(
-                {"params": params}, audio, video, text, deterministic=True
-            )
-            return tuple(
-                out[k]
-                for k in ("mu_all", "uncertainty_all", "calibrated_uncertainty")
-            )
+        forward = base
 
     jitted = jax.jit(forward)
     exporter = jax_export.export(
@@ -158,6 +179,10 @@ def export_inference(
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "artifacts": artifacts,
         "quantized": bool(quantize),
+        "ensemble_members": (
+            int(jax.tree_util.tree_leaves(param_tree)[0].shape[0])
+            if ensemble else 1
+        ),
         "n_params": int(
             sum(v.size for k, v in flat.items() if not k.startswith("scale/"))
         ),
