@@ -227,10 +227,8 @@ class TestEnsembleCLI:
         ccc = results["synthetic"]["ccc_average"]
         assert ccc == ccc  # finite (not NaN)
 
-    def test_ensemble_flag_parses_and_int8_export_rejects(self):
+    def test_ensemble_flag_parses(self):
         args = main.__globals__["build_arg_parser"]().parse_args(
             ["--ensemble", "4"]
         )
         assert args.ensemble == 4
-        with pytest.raises(SystemExit, match="int8 export"):
-            main(["--mode", "export", "--ensemble", "2", "--int8"])

@@ -162,12 +162,20 @@ class TestEnsembleExport:
             rtol=1e-4, atol=1e-6,
         )
 
-    def test_int8_ensemble_rejected(self, tmp_path):
+    def test_int8_ensemble_export(self, tmp_path, rng):
+        """int8 + ensemble compose: the artifact carries stacked int8
+        kernels with per-member scales, and the loaded engine stays within
+        quantization noise of the float ensemble artifact."""
         from tpu_deer.train.ensemble import create_deer_ensemble
 
         model, stacked = create_deer_ensemble(SMALL, n_members=2, seed=0)
-        with pytest.raises(NotImplementedError, match="int8"):
-            export_inference(
-                model, stacked, str(tmp_path / "x"), quantize=True,
-                ensemble=True,
-            )
+        f_dir, q_dir = str(tmp_path / "f"), str(tmp_path / "q")
+        export_inference(model, stacked, f_dir, batch_buckets=(4,),
+                         ensemble=True)
+        manifest = export_inference(model, stacked, q_dir, batch_buckets=(4,),
+                                    ensemble=True, quantize=True)
+        assert manifest["quantized"] and manifest["ensemble_members"] == 2
+        a = rng.standard_normal((4, 16)).astype(np.float32)
+        f_out = load_exported(f_dir).predict(a, a, a)
+        q_out = load_exported(q_dir).predict(a, a, a)
+        np.testing.assert_allclose(q_out["mu"], f_out["mu"], atol=0.05)

@@ -65,3 +65,45 @@ class TestStochasticKernel:
         err = v * s - np.asarray(w)
         assert abs(err.mean()) < s * 0.05
         assert np.abs(err).max() <= s * 1.01
+
+
+class TestStackedQuantization:
+    def test_stacked_roundtrip_per_member_scales(self, rng):
+        """Ensemble-stacked 3-D kernels quantize with per-member
+        per-channel scales ([K, out]) over the contraction axis."""
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        _, stacked = create_deer_ensemble(CFG, n_members=3, seed=0)
+        q, scales = quantize_tree(stacked)
+        deq = dequantize_tree(q, scales)
+        quantized_kernels = 0
+        for orig, rec, s in zip(
+            jax.tree_util.tree_leaves(stacked),
+            jax.tree_util.tree_leaves(deq),
+            jax.tree_util.tree_leaves(scales),
+        ):
+            orig, rec = np.asarray(orig), np.asarray(rec)
+            if np.asarray(s).size and orig.ndim == 3:
+                quantized_kernels += 1
+                assert np.asarray(s).shape == (3, orig.shape[-1])
+                step = np.abs(orig).max(axis=-2, keepdims=True) / 127.0
+                assert np.all(np.abs(orig - rec) <= 0.51 * step + 1e-8)
+        assert quantized_kernels > 0
+
+    def test_stacked_equals_per_member_quantization(self, rng):
+        """Quantizing the stack == quantizing each member separately (the
+        member axis must not leak into the scales)."""
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        _, stacked = create_deer_ensemble(CFG, n_members=2, seed=1)
+        deq_stacked = dequantize_tree(*quantize_tree(stacked))
+        for k in range(2):
+            member = jax.tree_util.tree_map(lambda x: np.asarray(x)[k], stacked)
+            deq_member = dequantize_tree(*quantize_tree(member))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(deq_member),
+                jax.tree_util.tree_leaves(deq_stacked),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b)[k], rtol=1e-6, atol=1e-7
+                )

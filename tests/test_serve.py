@@ -167,11 +167,21 @@ class TestEnsembleServing:
         with pytest.raises(ValueError, match="stacked member tree"):
             InferenceEngine(model, params, ensemble=True)
 
-    def test_rejects_int8_ensemble(self, ens):
+    def test_int8_ensemble_close_to_float(self, ens, rng):
+        """int8 ensemble serving: per-member per-channel scales keep the
+        combined prediction within quantization noise of float serving."""
         model, stacked = ens
-        with pytest.raises(NotImplementedError, match="int8"):
-            InferenceEngine(model, stacked, ensemble=True,
-                            quantize_weights=True)
+        f_eng = InferenceEngine(model, stacked, batch_buckets=(4,),
+                                ensemble=True)
+        q_eng = InferenceEngine(model, stacked, batch_buckets=(4,),
+                                ensemble=True, quantize_weights=True)
+        a, v, t = _req(rng, 4)
+        f_out = f_eng.predict(a, v, t)
+        q_out = q_eng.predict(a, v, t)
+        np.testing.assert_allclose(q_out["mu"], f_out["mu"], atol=0.05)
+        np.testing.assert_allclose(
+            q_out["uncertainty"], f_out["uncertainty"], rtol=0.1, atol=0.05
+        )
 
     def test_from_checkpoint_ensemble(self, ens, tmp_path, rng):
         from tpu_deer.train.checkpoint import CheckpointManager

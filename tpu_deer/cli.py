@@ -627,12 +627,6 @@ def main(argv=None) -> int:
     if args.learning_rate is not None:
         overrides["training.learning_rate"] = args.learning_rate
     if args.ensemble is not None:
-        if args.mode == "export" and args.int8:
-            raise SystemExit(
-                "--int8 export of a stacked ensemble is not supported "
-                "(per-channel scales cover 2-D kernels only) — export one "
-                "member via EnsembleTrainer.member_params(k)."
-            )
         overrides["training.ensemble_members"] = args.ensemble
 
     pipeline = MultimodalDEERPipeline(

@@ -87,12 +87,6 @@ def export_inference(
     """
     os.makedirs(output_dir, exist_ok=True)
     cfg = model.config
-    if ensemble and quantize:
-        raise NotImplementedError(
-            "int8 export of a stacked ensemble is not supported — "
-            "quantize_tree's per-channel scales cover 2-D kernels only. "
-            "Export one member via EnsembleTrainer.member_params(k)."
-        )
 
     def base(params, audio, video, text):
         out = model.apply(
@@ -103,18 +97,9 @@ def export_inference(
             for k in ("mu_all", "uncertainty_all", "calibrated_uncertainty")
         )
 
-    if quantize:
-        from tpu_deer.ops.quantization import (
-            dequantize_tree_device,
-            quantize_tree,
-        )
+    if ensemble:
 
-        def forward(qs, audio, video, text):
-            return base(dequantize_tree_device(*qs), audio, video, text)
-
-    elif ensemble:
-
-        def forward(params, audio, video, text):
+        def combined(params, audio, video, text):
             m_mu, m_unc, m_cal = jax.vmap(
                 lambda p: base(p, audio, video, text)
             )(params)
@@ -126,7 +111,19 @@ def export_inference(
             )
 
     else:
-        forward = base
+        combined = base
+
+    if quantize:
+        from tpu_deer.ops.quantization import (
+            dequantize_tree_device,
+            quantize_tree,
+        )
+
+        def forward(qs, audio, video, text):
+            return combined(dequantize_tree_device(*qs), audio, video, text)
+
+    else:
+        forward = combined
 
     jitted = jax.jit(forward)
     exporter = jax_export.export(

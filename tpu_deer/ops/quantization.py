@@ -26,17 +26,23 @@ _PASSTHROUGH = np.zeros(0, dtype=np.float32)
 
 
 def _is_quantizable(path: tuple, leaf) -> bool:
+    # 2-D Dense kernels [in, out], or member-stacked 3-D kernels [K, in, out]
+    # from a deep-ensemble tree (train/ensemble.py) — the contraction axis is
+    # always axis -2.
     name = "/".join(getattr(k, "key", str(k)) for k in path)
-    return getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] >= 8 and name.endswith(
-        "kernel"
+    return (
+        getattr(leaf, "ndim", 0) in (2, 3)
+        and leaf.shape[-2] >= 8
+        and name.endswith("kernel")
     )
 
 
 def quantize_tree(params: Any) -> tuple[Any, Any]:
     """params → (q_tree, scale_tree).
 
-    Quantizable 2-D kernels become int8 with a float32 per-output-channel
-    scale; other leaves pass through unchanged (empty scale sentinel).
+    Quantizable kernels become int8 with a float32 per-output-channel scale
+    (per member AND per channel, [K, out], for stacked 3-D kernels); other
+    leaves pass through unchanged (empty scale sentinel).
     """
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
     q_leaves, s_leaves = [], []
@@ -44,8 +50,11 @@ def quantize_tree(params: Any) -> tuple[Any, Any]:
         arr = np.asarray(leaf)
         if _is_quantizable(path, arr):
             w = arr.astype(np.float32)
-            scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0  # [out]
-            q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+            # reduce the contraction axis: [out] for 2-D, [K, out] for 3-D
+            scale = np.maximum(np.abs(w).max(axis=-2), 1e-8) / 127.0
+            q = np.clip(
+                np.round(w / scale[..., None, :]), -127, 127
+            ).astype(np.int8)
             q_leaves.append(q)
             s_leaves.append(scale.astype(np.float32))
         else:
@@ -65,7 +74,7 @@ def dequantize_tree(q_tree: Any, scale_tree: Any) -> Any:
         scale = np.asarray(scale)
         if scale.size == 0:
             return q
-        return q.astype(np.float32) * scale[None, :]
+        return q.astype(np.float32) * scale[..., None, :]
 
     return jax.tree_util.tree_map(deq, q_tree, scale_tree)
 
@@ -83,7 +92,7 @@ def dequantize_tree_device(q_tree: Any, scale_tree: Any, dtype=None) -> Any:
     def deq(q, scale):
         if getattr(scale, "size", 0) == 0:
             return q
-        out = q.astype(dtype or jnp.float32) * scale[None, :].astype(
+        out = q.astype(dtype or jnp.float32) * scale[..., None, :].astype(
             dtype or jnp.float32
         )
         return out

@@ -80,12 +80,6 @@ class InferenceEngine:
         # formulas to EnsembleTrainer's eval, so serving returns the same
         # numbers training-side evaluation saw.
         self.ensemble = bool(ensemble)
-        if self.ensemble and quantize_weights:
-            raise NotImplementedError(
-                "int8 serving of a stacked ensemble is not supported yet — "
-                "quantize_tree's per-channel scales cover 2-D kernels only. "
-                "Serve one member int8 via EnsembleTrainer.member_params(k)."
-            )
         if self.ensemble:
             leaves = jax.tree_util.tree_leaves(params)
             if not leaves or any(
