@@ -269,6 +269,11 @@ def main(argv=None) -> int:
             + " |"
         )
     nd = e_row["ood_auroc_no_disagreement"]
+    best_member = max(member_ccc)
+    probes = [o for o in ood_sets if "control" not in o]
+    best_ood = max(
+        max(r["ood_auroc"][o] for o in probes) for r in rows
+    )
     md += [
         "",
         "Disagreement isolation (ensemble epistemic WITHOUT the "
@@ -276,6 +281,25 @@ def main(argv=None) -> int:
         + ", ".join(f"{o} {nd[o]:.3f}" for o in ood_sets)
         + " — the delta vs the ensemble row is what member disagreement "
         "alone contributes.",
+        "",
+        "Takeaways:",
+        f"- In-distribution the ensemble wins every column: CCC "
+        f"{e_row['ccc_avg']:.3f} vs {s_row['ccc_avg']:.3f} single "
+        f"(+{e_row['ccc_avg'] - best_member:.3f} over even the BEST "
+        f"member — the combination itself helps), and ranking/AUSE/ECE "
+        f"improve monotonically single -> MC dropout -> ensemble.",
+        f"- MC dropout is the cheap middle ground: no retraining, "
+        f"uncertainty ranking improves (corr "
+        f"{s_row['unc_err_corr']:.3f} -> {m_row['unc_err_corr']:.3f}), "
+        f"accuracy unchanged.",
+        f"- HONEST NEGATIVE: none of the epistemic channels is a usable "
+        f"OOD detector on these probes (best AUROC {best_ood:.3f}). The "
+        f"NIG evidence head extrapolates confidently off-manifold — a "
+        f"known evidential-regression failure mode — and member "
+        f"disagreement does not rescue it: members trained on the same "
+        f"data agree even where they are all wrong. Deployment guardrails "
+        f"should come from conformal intervals (eval/conformal.py) and "
+        f"input-space checks, not from trusting epistemic spikes.",
         "",
         "Reproduce: `python experiments/ensemble_study.py`"
         " (add `--quick` for a CPU smoke).",
