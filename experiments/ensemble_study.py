@@ -185,10 +185,10 @@ def main(argv=None) -> int:
     # weights, vmapped into one XLA program (trainer.predict_mc_dropout).
     mc_samples = 8
     mc_predict = lambda ds: s_tr.predict_mc_dropout(ds, n_samples=mc_samples)
-    _, m_row = id_metrics(
+    m_out, m_row = id_metrics(
         s_tr, f"single + MC dropout (S={mc_samples})", predict=mc_predict
     )
-    m_epi = {"test": mc_predict(test_ds)["epistemic"].mean(axis=1)}
+    m_epi = {"test": m_out["epistemic"].mean(axis=1)}
     for oname, ods in ood_sets.items():
         m_epi[oname] = mc_predict(ods)["epistemic"].mean(axis=1)
     m_row["ood_auroc"] = {
@@ -199,15 +199,19 @@ def main(argv=None) -> int:
     emodel, stacked = create_deer_ensemble(mcfg, n_members=args.members, seed=1)
     e_tr = EnsembleTrainer(emodel, stacked, tcfg(1), steps_per_epoch=steps)
     e_tr.train(train, val)
-    e_out, e_row = id_metrics(e_tr, f"deep ensemble (K={args.members})")
+    _, e_row = id_metrics(e_tr, f"deep ensemble (K={args.members})")
 
     # Per-member predictions: member CCC spread + disagreement isolation.
+    # ONE single-model trainer, params swapped per member, so every member
+    # reuses the same jitted eval step (CLAUDE.md: trainers compile their
+    # own step — reuse them in loops).
     member_ccc, member_epi = [], {"test": [], **{o: [] for o in ood_sets}}
     member_mu = {"test": [], **{o: [] for o in ood_sets}}
+    m_tr = DEERTrainer(
+        emodel, e_tr.member_params(0), tcfg(1), steps_per_epoch=steps
+    )
     for k in range(args.members):
-        m_tr = DEERTrainer(
-            emodel, e_tr.member_params(k), tcfg(1), steps_per_epoch=steps
-        )
+        m_tr.state = m_tr.state.replace(params=e_tr.member_params(k))
         m_out = m_tr.predict(test_ds)
         member_ccc.append(float(np.mean([
             M.ccc_np(test["labels"][:, d], m_out["mu"][:, d]) for d in range(3)

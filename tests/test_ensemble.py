@@ -42,7 +42,7 @@ def _tcfg(**kw):
         # trajectories are comparable to independent runs. threefry is the
         # only PRNG whose bit streams are vmap-invariant (rbg's batched
         # draws differ from unbatched ones — documented JAX behavior), so
-        # bitwise member-vs-independent equality is pinned under threefry.
+        # member-vs-independent trajectory equality (float32 batching tolerance) is pinned under threefry.
         spike_backoff=False,
         rng_impl="threefry2x32",
         seed=0,

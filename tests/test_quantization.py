@@ -74,7 +74,7 @@ class TestStackedQuantization:
         from tpu_deer.train.ensemble import create_deer_ensemble
 
         _, stacked = create_deer_ensemble(CFG, n_members=3, seed=0)
-        q, scales = quantize_tree(stacked)
+        q, scales = quantize_tree(stacked, member_stacked=True)
         deq = dequantize_tree(q, scales)
         quantized_kernels = 0
         for orig, rec, s in zip(
@@ -96,7 +96,7 @@ class TestStackedQuantization:
         from tpu_deer.train.ensemble import create_deer_ensemble
 
         _, stacked = create_deer_ensemble(CFG, n_members=2, seed=1)
-        deq_stacked = dequantize_tree(*quantize_tree(stacked))
+        deq_stacked = dequantize_tree(*quantize_tree(stacked, member_stacked=True))
         for k in range(2):
             member = jax.tree_util.tree_map(lambda x: np.asarray(x)[k], stacked)
             deq_member = dequantize_tree(*quantize_tree(member))
@@ -107,3 +107,24 @@ class TestStackedQuantization:
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b)[k], rtol=1e-6, atol=1e-7
                 )
+
+    def test_plain_tree_3d_kernels_pass_through(self):
+        """Without member_stacked, 3-D kernels (e.g. BilinearFusion's
+        bilinear_kernel, whose contraction axes are NOT -2) must stay
+        float — regression for the over-widened _is_quantizable."""
+        cfg = DEERModelConfig(
+            audio_dim=16, video_dim=16, text_dim=16, encoder_dim=24,
+            fusion_dim=32, attention_heads=2, encoder_layers=1,
+            fusion_type="bilinear",
+        )
+        _, params = create_complete_deer_model(cfg, seed=0)
+        q, scales = quantize_tree(params)
+        found_3d = 0
+        for ql, s in zip(
+            jax.tree_util.tree_leaves(q), jax.tree_util.tree_leaves(scales)
+        ):
+            if np.asarray(ql).ndim == 3:
+                found_3d += 1
+                assert np.asarray(ql).dtype != np.int8
+                assert np.asarray(s).size == 0
+        assert found_3d > 0, "fixture lost its 3-D bilinear kernel"

@@ -131,7 +131,9 @@ def export_inference(
     )
 
     if quantize:
-        q_tree, s_tree = quantize_tree(jax.device_get(params))
+        q_tree, s_tree = quantize_tree(
+            jax.device_get(params), member_stacked=ensemble
+        )
         flat = {
             **{f"q/{k}": v for k, v in _flatten_params(q_tree).items()},
             **{f"scale/{k}": v for k, v in _flatten_params(s_tree).items()},

@@ -25,30 +25,37 @@ import numpy as np
 _PASSTHROUGH = np.zeros(0, dtype=np.float32)
 
 
-def _is_quantizable(path: tuple, leaf) -> bool:
-    # 2-D Dense kernels [in, out], or member-stacked 3-D kernels [K, in, out]
-    # from a deep-ensemble tree (train/ensemble.py) — the contraction axis is
-    # always axis -2.
+def _is_quantizable(path: tuple, leaf, member_stacked: bool = False) -> bool:
+    # Plain trees: 2-D Dense kernels [in, out] only. Member-stacked trees
+    # (train/ensemble.py — EVERY leaf carries a leading member axis): the
+    # same kernels are 3-D [K, in, out], so the contraction axis is still
+    # axis -2 by construction. Kernels whose un-stacked form is not 2-D
+    # (BilinearFusion's bilinear_kernel, nn.vmap-stacked MoE expert kernels)
+    # fall outside the expected ndim and keep passing through in float —
+    # their contraction axes are NOT -2 and must not use these scales.
     name = "/".join(getattr(k, "key", str(k)) for k in path)
+    ndim = 3 if member_stacked else 2
     return (
-        getattr(leaf, "ndim", 0) in (2, 3)
+        getattr(leaf, "ndim", 0) == ndim
         and leaf.shape[-2] >= 8
         and name.endswith("kernel")
     )
 
 
-def quantize_tree(params: Any) -> tuple[Any, Any]:
+def quantize_tree(params: Any, member_stacked: bool = False) -> tuple[Any, Any]:
     """params → (q_tree, scale_tree).
 
-    Quantizable kernels become int8 with a float32 per-output-channel scale
-    (per member AND per channel, [K, out], for stacked 3-D kernels); other
-    leaves pass through unchanged (empty scale sentinel).
+    Quantizable kernels become int8 with a float32 per-output-channel scale;
+    other leaves pass through unchanged (empty scale sentinel).
+    `member_stacked=True` declares a deep-ensemble tree whose every leaf has
+    a leading member axis: the stacked [K, in, out] kernels quantize with
+    per-member per-channel [K, out] scales.
     """
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
     q_leaves, s_leaves = [], []
     for path, leaf in paths_leaves:
         arr = np.asarray(leaf)
-        if _is_quantizable(path, arr):
+        if _is_quantizable(path, arr, member_stacked):
             w = arr.astype(np.float32)
             # reduce the contraction axis: [out] for 2-D, [K, out] for 3-D
             scale = np.maximum(np.abs(w).max(axis=-2), 1e-8) / 127.0

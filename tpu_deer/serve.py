@@ -97,7 +97,9 @@ class InferenceEngine:
             # (the bottleneck for small-batch serving of this model).
             from tpu_deer.ops.quantization import quantize_tree
 
-            q, s = quantize_tree(jax.device_get(params))
+            q, s = quantize_tree(
+                jax.device_get(params), member_stacked=self.ensemble
+            )
             self.params = (jax.device_put(q), jax.device_put(s))
         else:
             self.params = jax.device_put(params)

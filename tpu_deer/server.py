@@ -759,8 +759,10 @@ def main(argv=None) -> int:
     mb = dict(micro_batch=args.micro_batch, max_batch=args.max_batch,
               max_wait_ms=args.max_wait_ms)
     if args.ensemble > 1 and not args.checkpoint:
-        p.error("--ensemble requires --checkpoint (AOT artifacts are "
-                "exported per member)")
+        p.error("--ensemble requires --checkpoint. AOT ensemble artifacts "
+                "(--mode export --ensemble K) already bake the member "
+                "combination into the exported program — serve them with "
+                "--exported and no flag.")
     if args.ensemble > 1 and args.stream_slots:
         p.error("--stream_slots serves a single parameter tree; serve one "
                 "ensemble member for streaming")

@@ -10,8 +10,9 @@ updates the whole stacked tree. The entire K-member train step compiles to
 a single XLA program whose matmuls are K-times batched (MXU-friendly: the
 flagship's [B, in]x[in, out] GEMMs become [K, B, in]x[K, in, out] batched
 GEMMs with no extra dispatches), and per-member gradients never interact —
-a K-member run is bit-identical to K independent single-model runs (pinned
-by tests/test_ensemble.py).
+a K-member run reproduces K independent single-model runs to float32
+accumulation-order tolerance (rtol 2e-5; batched GEMMs tile differently
+than single-model ones — pinned by tests/test_ensemble.py).
 
 Scaling: the member axis is embarrassingly parallel. With
 TrainingConfig(param_sharding="ensemble") under a ('data','model') mesh the

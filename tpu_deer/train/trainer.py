@@ -443,16 +443,18 @@ class DEERTrainer:
         return optax.clip_by_global_norm(self.config.gradient_clip)
 
     def _wrap_dropout_rng(self, rng):
-        """Reinterpret the raw uint32 key under the configured PRNG impl.
+        """Reinterpret raw uint32 key(s) under the configured PRNG impl.
 
         The state carries an old-style threefry PRNGKey (uint32[2]) so
         checkpoints stay portable; for "rbg" the 4-word generator state is
         seeded from the two key words (duplicated) — deterministic per key,
         generated by the TPU's hardware PRNG path instead of threefry ALU
-        rounds.
+        rounds. Accepts a batch of keys [..., 2] (predict_mc_dropout passes
+        its S sample keys through the same path, so the wrap convention
+        cannot drift between training and MC dropout).
         """
         if self.config.rng_impl and self.config.rng_impl != "threefry2x32":
-            data = jnp.concatenate([rng, rng]).astype(jnp.uint32)
+            data = jnp.concatenate([rng, rng], axis=-1).astype(jnp.uint32)
             return jax.random.wrap_key_data(data, impl=self.config.rng_impl)
         return rng
 
@@ -1005,18 +1007,15 @@ class DEERTrainer:
 
         Under the default rng_impl="rbg" the batched draws differ from an
         unbatched loop's (documented JAX property of the rbg PRNGs) but stay
-        deterministic per seed; under "threefry2x32" they match a host loop
-        bit-for-bit.
+        deterministic per seed; under "threefry2x32" the dropout masks match
+        a host loop exactly (outputs then agree to float32 batching
+        tolerance — pinned by tests/test_mc_dropout.py).
         """
         if n_samples < 1:
             raise ValueError(f"n_samples must be >= 1, got {n_samples}")
         if self._mc_step is None:
             def mc_step(params, batch, keys):
-                if self.config.rng_impl and self.config.rng_impl != "threefry2x32":
-                    keys = jax.random.wrap_key_data(
-                        jnp.concatenate([keys, keys], axis=-1).astype(jnp.uint32),
-                        impl=self.config.rng_impl,
-                    )
+                keys = self._wrap_dropout_rng(keys)
 
                 def one(key):
                     out = self.model.apply(
