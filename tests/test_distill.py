@@ -124,3 +124,56 @@ class TestDistilledStudent:
         _, tparams = teacher
         smodel, sparams = create_complete_deer_model(STUDENT, seed=0)
         assert count_parameters(sparams) < 0.4 * count_parameters(tparams)
+
+
+class TestEnsembleTeacher:
+    def test_ensemble_stamp_matches_moment_matched_members(self, splits):
+        """add_teacher_targets(ensemble=True) == moment matching over the
+        per-member stamps (mu mean; unc mean + disagreement)."""
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        model, stacked = create_deer_ensemble(TEACHER, n_members=3, seed=2)
+        ds = ArrayDataset(splits["test"], "syn")
+        combined = add_teacher_targets(
+            model, stacked, ds, batch_size=64, ensemble=True
+        )
+
+        import jax
+
+        member_mu, member_unc = [], []
+        for k in range(3):
+            pk = jax.tree_util.tree_map(lambda x: x[k], stacked)
+            m = add_teacher_targets(model, pk, ds, batch_size=64)
+            member_mu.append(m.arrays["teacher_mu"])
+            member_unc.append(m.arrays["teacher_unc"])
+        mu = np.mean(member_mu, axis=0)
+        unc = np.mean(member_unc, axis=0) + np.var(member_mu, axis=0)
+        np.testing.assert_allclose(
+            combined.arrays["teacher_mu"], mu, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            combined.arrays["teacher_unc"], unc, rtol=1e-4, atol=1e-6
+        )
+
+    def test_student_trains_on_ensemble_targets(self, splits):
+        """A student picks up ensemble-stamped targets through the normal
+        distillation knobs (loss wiring end to end)."""
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        model, stacked = create_deer_ensemble(TEACHER, n_members=2, seed=3)
+        stamped = add_teacher_targets(
+            model, stacked, ArrayDataset(splits["train"], "syn"),
+            batch_size=64, ensemble=True,
+        )
+        smodel, sparams = create_complete_deer_model(STUDENT, seed=1)
+        tr = DEERTrainer(
+            smodel, sparams,
+            TrainingConfig(learning_rate=3e-3, batch_size=64, num_epochs=2,
+                           warmup_epochs=0, scheduler="constant",
+                           distill_mu_weight=1.0, distill_unc_weight=0.5,
+                           seed=1),
+            steps_per_epoch=6,
+        )
+        out = tr.train({"syn": stamped},
+                       {"syn": ArrayDataset(splits["val"], "syn")})
+        assert np.isfinite(out["best_val_ccc"])

@@ -37,6 +37,7 @@ def add_teacher_targets(
     teacher_params,
     dataset: ArrayDataset,
     batch_size: int = 512,
+    ensemble: bool = False,
 ) -> ArrayDataset:
     """Return a copy of `dataset` with `teacher_mu` / `teacher_unc` arrays.
 
@@ -44,18 +45,31 @@ def add_teacher_targets(
     matched by the student in log space. Runs the teacher in deterministic
     mode over padded fixed-size batches (one compilation), so it works
     through the remote-TPU tunnel without per-batch recompiles.
+
+    `ensemble=True` distills FROM a stacked K-member deep ensemble
+    (train/ensemble.py): the member forwards vmap inside the one stamping
+    program and the targets are the moment-matched combination (teacher_unc
+    gains the cross-member disagreement) — the strongest teacher the
+    framework can produce, compressed into one serving student.
     """
     n = len(dataset)
     audio = np.asarray(dataset.arrays["audio"])
     video = np.asarray(dataset.arrays["video"])
     text = np.asarray(dataset.arrays["text"])
 
-    @jax.jit
-    def fwd(a, v, t):
+    def single(params, a, v, t):
         out = teacher_model.apply(
-            {"params": teacher_params}, a, v, t, deterministic=True
+            {"params": params}, a, v, t, deterministic=True
         )
         return out["mu_all"], out["uncertainty_all"]
+
+    @jax.jit
+    def fwd(a, v, t):
+        if not ensemble:
+            return single(teacher_params, a, v, t)
+        m_mu, m_unc = jax.vmap(lambda p: single(p, a, v, t))(teacher_params)
+        disagreement = jnp.var(m_mu, axis=0)
+        return jnp.mean(m_mu, axis=0), jnp.mean(m_unc, axis=0) + disagreement
 
     mus, uncs = [], []
     for start in range(0, n, batch_size):
