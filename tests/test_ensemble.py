@@ -230,3 +230,34 @@ class TestEnsembleSharding:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), rtol=5e-5, atol=1e-5
             )
+
+
+class TestEnsembleFusedEpochs:
+    def test_fused_matches_perstep(self):
+        """The inherited fused-epoch path (one lax.scan dispatch per epoch)
+        reproduces the per-step trajectory for a stacked ensemble too."""
+        splits = _splits(n_train=256, n_val=128)
+        train = {"synthetic": ArrayDataset(splits["train"], "synthetic")}
+        val = {"synthetic": ArrayDataset(splits["val"], "synthetic")}
+        base = dict(num_epochs=2)
+
+        model, stacked = create_deer_ensemble(SMALL, n_members=2, seed=4)
+        stacked = jax.tree_util.tree_map(np.asarray, stacked)
+        t_step = EnsembleTrainer(
+            model, stacked, _tcfg(fused_epochs=False, **base),
+            steps_per_epoch=4,
+        )
+        t_fused = EnsembleTrainer(
+            model, stacked, _tcfg(fused_epochs=True, **base),
+            steps_per_epoch=4,
+        )
+        r_step = t_step.train(train, val)
+        r_fused = t_fused.train(train, val)
+        np.testing.assert_allclose(
+            r_step["history"]["train_loss"],
+            r_fused["history"]["train_loss"], rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            r_step["history"]["val_ccc"], r_fused["history"]["val_ccc"],
+            rtol=1e-3, atol=1e-4,
+        )
