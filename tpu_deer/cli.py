@@ -267,7 +267,49 @@ class MultimodalDEERPipeline:
         with open(self.path("results", "evaluation.json"), "w") as f:
             json.dump(all_results, f, indent=2)
         self._write_conformal_report(test_sets)
+        self._write_ood_detector()
         return all_results
+
+    def _write_ood_detector(self, max_fit_rows: int = 16384) -> None:
+        """Fit the input-space Mahalanobis OOD guardrail on the train split
+        and save it (results/ood_detector.npz) for `server --ood`. Fitted in
+        "input_norm" space (per-modality L2-normalized features): gain-
+        invariant by construction and the strongest detector measured in
+        experiments/RESULTS_ood.md — epistemic uncertainty misses structure-
+        breaking inputs (eval/ood.py). Host-side covariance fit only; no
+        model forward needed."""
+        from tpu_deer.eval.ood import MahalanobisOOD, input_norm_features
+
+        train_sets = self.datasets.get("train") or {}
+        if not train_sets:
+            return
+        feats = []
+        for ds in train_sets.values():
+            arrays = ds.arrays
+            if len(ds) > max_fit_rows:
+                idx = np.sort(np.random.default_rng(0).choice(
+                    len(ds), max_fit_rows, replace=False
+                ))
+                arrays = ds.slice(idx)
+            feats.append(input_norm_features(
+                arrays["audio"], arrays["video"], arrays["text"]
+            ))
+        x = np.concatenate(feats)
+        det = MahalanobisOOD(space="input_norm")
+        if len(x) >= 256:
+            # hold out 20% for threshold calibration: in-sample scores are
+            # biased low when N is not >> D (eval/ood.py:calibrate)
+            perm = np.random.default_rng(1).permutation(len(x))
+            n_cal = len(x) // 5
+            det.fit(x[perm[n_cal:]]).calibrate(x[perm[:n_cal]])
+        else:
+            det.fit(x)
+        det.save(self.path("results", "ood_detector.npz"))
+        logger.info(
+            "OOD detector fitted on %d input_norm rows "
+            "(threshold@1%%fpr %.1f) -> results/ood_detector.npz",
+            len(x), det.threshold(0.01),
+        )
 
     def _write_conformal_report(self, test_sets) -> None:
         """Split-conformal intervals: fit quantiles on the val split, report

@@ -10,3 +10,4 @@ from tpu_deer.eval.calibration import CalibrationAnalyzer
 from tpu_deer.eval.statistics import StatisticalValidator, bootstrap_ccc_ci
 from tpu_deer.eval.cross_validation import CrossValidationEvaluator
 from tpu_deer.eval.conformal import ConformalCalibrator, ConformalIntervals
+from tpu_deer.eval.ood import MahalanobisOOD, input_norm_features, ood_auroc

@@ -71,8 +71,28 @@ class InferenceEngine:
         batch_buckets: Sequence[int] = DEFAULT_BUCKETS,
         quantize_weights: bool = False,
         ensemble: bool = False,
+        ood_detector=None,
+        ood_fpr: float = 0.01,
     ):
         self.model = model
+        # ood_detector: a fitted eval/ood.py:MahalanobisOOD. The Mahalanobis
+        # score runs IN-GRAPH — same dispatch as the forward — on whatever
+        # feature space the detector was fitted on (detector.space):
+        # "input_norm" (per-modality L2-normalized inputs; gain-invariant by
+        # construction, the shipped default) or "fused" (the model's fused
+        # representation). predict() adds "ood_score" plus a boolean
+        # "is_ood" at the detector's `ood_fpr` training-quantile threshold.
+        # This is the deployment guardrail the uncertainty-method study
+        # calls for (epistemic uncertainty alone misses structure breaks —
+        # experiments/RESULTS_ood.md).
+        self._ood = None
+        self._ood_threshold = None
+        self._ood_space = "fused"
+        if ood_detector is not None:
+            mean, whitener = ood_detector.device_arrays
+            self._ood = (jax.device_put(mean), jax.device_put(whitener))
+            self._ood_threshold = ood_detector.threshold(ood_fpr)
+            self._ood_space = getattr(ood_detector, "space", "fused")
         # ensemble=True serves a stacked K-member tree (train/ensemble.py):
         # the member forwards are vmapped inside the one jitted program (the
         # serving GEMMs become K-times batched, still a single dispatch per
@@ -128,7 +148,24 @@ class InferenceEngine:
                     axis=-1,
                 ),
                 "attention_weights": out["attention_weights"],
+                "fused": out["fused_features"],
             }
+
+        def _with_ood(out, audio, video, text):
+            fused = out.pop("fused")
+            if self._ood is not None:
+                from tpu_deer.eval.ood import (
+                    input_norm_features_device, mahalanobis_score_device,
+                )
+
+                feats = (
+                    input_norm_features_device(audio, video, text)
+                    if self._ood_space == "input_norm" else fused
+                )
+                out["ood_score"] = mahalanobis_score_device(
+                    feats, self._ood[0], self._ood[1]
+                )
+            return out
 
         def forward(params, audio, video, text):
             if self.quantized:
@@ -136,7 +173,9 @@ class InferenceEngine:
 
                 params = dequantize_tree_device(*params)
             if not self.ensemble:
-                return single(params, audio, video, text)
+                return _with_ood(
+                    single(params, audio, video, text), audio, video, text
+                )
             member = jax.vmap(
                 lambda p: single(p, audio, video, text)
             )(params)
@@ -144,7 +183,7 @@ class InferenceEngine:
             aleatoric = jnp.mean(member["aleatoric"], axis=0)
             disagreement = jnp.var(member["mu"], axis=0)
             epistemic = jnp.mean(member["epistemic"], axis=0) + disagreement
-            return {
+            return _with_ood({
                 "mu": mu,
                 "uncertainty": aleatoric + epistemic,
                 "calibrated_uncertainty": (
@@ -156,7 +195,11 @@ class InferenceEngine:
                 "attention_weights": jnp.mean(
                     member["attention_weights"], axis=0
                 ),
-            }
+                # member-mean fused representation: a fused-space detector
+                # must be fitted on the same mean when serving an ensemble
+                # (input_norm-space detectors are member-independent).
+                "fused": jnp.mean(member["fused"], axis=0),
+            }, audio, video, text)
 
         self._forward = jax.jit(forward)
 
@@ -215,4 +258,7 @@ class InferenceEngine:
                 jnp.asarray(t, jnp.float32),
             )
 
-        return bucketed_predict(run, self.buckets, audio, video, text)
+        out = bucketed_predict(run, self.buckets, audio, video, text)
+        if self._ood_threshold is not None:
+            out["is_ood"] = out["ood_score"] > self._ood_threshold
+        return out

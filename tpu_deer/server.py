@@ -580,7 +580,8 @@ class PredictionService:
         resp = {
             k: np.asarray(v).tolist()
             for k, v in out.items()
-            if k in ("mu", "uncertainty", "calibrated_uncertainty")
+            if k in ("mu", "uncertainty", "calibrated_uncertainty",
+                     "ood_score", "is_ood")
         }
         return self.attach_intervals(resp)
 
@@ -753,6 +754,15 @@ def main(argv=None) -> int:
                         "(from cli --ensemble K): members vmapped in one "
                         "dispatch, moment-matched predictions (checkpoint "
                         "source only)")
+    p.add_argument("--ood",
+                   help="Mahalanobis OOD detector .npz (the CLI evaluate "
+                        "stage's results/ood_detector.npz); /predict "
+                        "responses gain ood_score + is_ood, computed "
+                        "in-graph in the detector's feature space — "
+                        "gain-invariant normalized inputs by default "
+                        "(checkpoint source only)")
+    p.add_argument("--ood_fpr", type=float, default=0.01,
+                   help="training-quantile false-positive rate for is_ood")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -766,10 +776,19 @@ def main(argv=None) -> int:
     if args.ensemble > 1 and args.stream_slots:
         p.error("--stream_slots serves a single parameter tree; serve one "
                 "ensemble member for streaming")
+    if args.ood and not args.checkpoint:
+        p.error("--ood requires --checkpoint (AOT artifacts fix the exported "
+                "program; re-export with the detector to serve OOD scores)")
     if args.checkpoint:
+        ood_kw = {}
+        if args.ood:
+            from tpu_deer.eval.ood import MahalanobisOOD
+
+            ood_kw = dict(ood_detector=MahalanobisOOD.load(args.ood),
+                          ood_fpr=args.ood_fpr)
         service = PredictionService.from_checkpoint(
             args.checkpoint, stream_slots=args.stream_slots,
-            ensemble_members=args.ensemble, **mb
+            ensemble_members=args.ensemble, **mb, **ood_kw
         )
         if not args.no_warmup:
             service.engine.warmup()

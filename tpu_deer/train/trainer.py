@@ -273,6 +273,11 @@ class DEERTrainer:
         }
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_step_fused = jax.jit(
+            lambda params, batch: self._eval_step_impl(
+                params, batch, with_fused=True
+            )
+        )
         self._mc_step = None  # built lazily by predict_mc_dropout
         # Device-resident data: datasets are staged in HBM once and batches
         # are gathered ON DEVICE from a tiny [B] int32 index vector — the
@@ -613,7 +618,7 @@ class DEERTrainer:
         )
         return new_state, aux
 
-    def _eval_step_impl(self, params, batch):
+    def _eval_step_impl(self, params, batch, with_fused: bool = False):
         out = self.model.apply(
             {"params": params},
             batch["audio"],
@@ -626,7 +631,7 @@ class DEERTrainer:
         loss_out = loss_lib.multi_task_deer_loss(
             ps, batch["labels"], loss_lib.DEERLossConfig(variant=self.config.loss_variant)
         )
-        return {
+        res = {
             "mu": out["mu_all"],
             "uncertainty": out["uncertainty_all"],
             "calibrated_uncertainty": out["calibrated_uncertainty"],
@@ -638,6 +643,14 @@ class DEERTrainer:
             ),
             "loss": loss_out["total_loss"],
         }
+        if with_fused:
+            # Fused representation for feature-space OOD fitting
+            # (eval/ood.py). A separate jitted variant, NOT part of the
+            # standard eval step: validate_epoch device_gets the whole
+            # output dict and the tunnel's ~17 MB/s host link would pay
+            # [B, fusion_dim] extra bytes per batch every epoch.
+            res["fused"] = out["fused_features"]
+        return res
 
     def _put(self, batch: dict) -> dict:
         arrays = {
@@ -970,6 +983,7 @@ class DEERTrainer:
         dataset: ArrayDataset,
         batch_size: Optional[int] = None,
         use_ema: bool = False,
+        return_fused: bool = False,
     ) -> dict:
         params = self.ema_params if use_ema else self.state.params
         if params is None:
@@ -977,11 +991,17 @@ class DEERTrainer:
         it = BatchIterator(dataset, batch_size or self.config.batch_size, shuffle=False)
         outs: dict[str, list] = {}
         masks = []
+        keys = ("mu", "uncertainty", "calibrated_uncertainty", "aleatoric", "epistemic")
+        step = self._eval_step
+        if return_fused:
+            # Fused representation for feature-space OOD fitting (eval/ood.py).
+            keys = keys + ("fused",)
+            step = self._eval_step_fused
         for idx, mask_arr in it.epoch_indices(0):
             batch = self._batch_from_indices(dataset, idx)
-            out = self._eval_step(params, batch)
+            out = step(params, batch)
             masks.append(mask_arr.astype(bool))
-            for k in ("mu", "uncertainty", "calibrated_uncertainty", "aleatoric", "epistemic"):
+            for k in keys:
                 outs.setdefault(k, []).append(np.asarray(out[k]))
         mask = np.concatenate(masks)
         return {k: np.concatenate(v)[mask] for k, v in outs.items()}
