@@ -57,6 +57,46 @@ def auroc(neg: "np.ndarray", pos: "np.ndarray") -> float:
     return float((r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
+def make_probes(test: dict, rng) -> dict:
+    """The study's four probe families over a dict of test arrays
+    (audio/video/text [+ labels, carried through untouched]). Shared with
+    experiments/ood_study.py so both studies score the SAME distribution
+    shifts. Returns {name: arrays-dict}; 'scaled (control)' is a negative
+    control (see the inline comments)."""
+    import numpy as np
+
+    shuffled = dict(test)
+    for k in ("audio", "video", "text"):
+        cols = test[k].copy()
+        for c in range(cols.shape[1]):
+            cols[:, c] = cols[rng.permutation(len(cols)), c]
+        shuffled[k] = cols
+    # scaled is a NEGATIVE CONTROL, not a probe: the encoder input stack is
+    # Dense -> relu -> LayerNorm, which is positively homogeneous up to the
+    # (zero-initialized, weight-decayed) biases, so a global feature gain is
+    # normalized away almost exactly — every detector should sit at ~0.5.
+    # (For audio features that is a desirable robustness: recording gain
+    # should not register as epistemic novelty.)
+    scaled = dict(test)
+    for k in ("audio", "video", "text"):
+        scaled[k] = (test[k] * 2.5).astype(np.float32)
+    # shifted: additive offset — NOT absorbed by the homogeneous stack.
+    shifted = dict(test)
+    for k in ("audio", "video", "text"):
+        shifted[k] = (test[k] + 2.0).astype(np.float32)
+    # misaligned: every modality vector is real, but video/text come from
+    # OTHER samples than the audio — cross-modal consistency broken.
+    misaligned = dict(test)
+    misaligned["video"] = test["video"][rng.permutation(len(test["video"]))]
+    misaligned["text"] = test["text"][rng.permutation(len(test["text"]))]
+    return {
+        "shuffled": shuffled,
+        "shifted": shifted,
+        "misaligned": misaligned,
+        "scaled (control)": scaled,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
@@ -65,6 +105,13 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--members", type=int, default=4)
+    p.add_argument("--latent_dim", type=int, default=0,
+                   help="shared cross-modal latent for the synthetic inputs "
+                        "(data/synthetic.py). Default 0 = i.i.d. features — "
+                        "matches the committed RESULTS_ensemble.md, but note "
+                        "the shuffled/misaligned probes are measure-"
+                        "preserving (vacuous) there; pass e.g. 16 to make "
+                        "them genuine breaks as in RESULTS_ood.md")
     p.add_argument("--out", default="experiments/RESULTS_ensemble")
     args = p.parse_args(argv)
 
@@ -92,6 +139,7 @@ def main(argv=None) -> int:
 
     splits = make_synthetic_splits(SyntheticConfig(
         n_train=args.n_train, n_val=args.n_eval, n_test=args.n_eval,
+        latent_dim=args.latent_dim or None,
     ))
     train = {"synthetic": ArrayDataset(splits["train"], "synthetic")}
     val_ds = ArrayDataset(splits["val"], "synthetic")
@@ -101,35 +149,9 @@ def main(argv=None) -> int:
 
     # OOD variants of the test features (labels irrelevant for detection).
     rng = np.random.default_rng(123)
-    shuffled = dict(test)
-    for k in ("audio", "video", "text"):
-        cols = test[k].copy()
-        for c in range(cols.shape[1]):
-            cols[:, c] = cols[rng.permutation(len(cols)), c]
-        shuffled[k] = cols
-    # scaled is a NEGATIVE CONTROL, not a probe: the encoder input stack is
-    # Dense -> relu -> LayerNorm, which is positively homogeneous up to the
-    # (zero-initialized, weight-decayed) biases, so a global feature gain is
-    # normalized away almost exactly — every detector should sit at ~0.5.
-    # (For audio features that is a desirable robustness: recording gain
-    # should not register as epistemic novelty.)
-    scaled = dict(test)
-    for k in ("audio", "video", "text"):
-        scaled[k] = (test[k] * 2.5).astype(np.float32)
-    # shifted: additive offset — NOT absorbed by the homogeneous stack.
-    shifted = dict(test)
-    for k in ("audio", "video", "text"):
-        shifted[k] = (test[k] + 2.0).astype(np.float32)
-    # misaligned: every modality vector is real, but video/text come from
-    # OTHER samples than the audio — cross-modal consistency broken.
-    misaligned = dict(test)
-    misaligned["video"] = test["video"][rng.permutation(len(test["video"]))]
-    misaligned["text"] = test["text"][rng.permutation(len(test["text"]))]
     ood_sets = {
-        "shuffled": ArrayDataset(shuffled, "ood_shuffled"),
-        "shifted": ArrayDataset(shifted, "ood_shifted"),
-        "misaligned": ArrayDataset(misaligned, "ood_misaligned"),
-        "scaled (control)": ArrayDataset(scaled, "ood_scaled"),
+        name: ArrayDataset(arrays, f"ood_{name.split()[0]}")
+        for name, arrays in make_probes(test, rng).items()
     }
 
     def tcfg(seed):

@@ -37,6 +37,20 @@ class SyntheticConfig:
     # in round-1 results. Feature-dependent hardness makes the benchmark
     # actually test uncertainty learning.
     hard_from_features: bool = True
+    # Shared cross-modal latent: when set, every modality's features are a
+    # mixing of `latent_dim` per-sample latent factors plus independent
+    # noise, so the inputs carry the within-modality correlations and
+    # cross-modal coupling real multimodal data has (the premise fusion
+    # models exist for). With the default (None) the features are i.i.d.
+    # N(0,1) — which makes structure-breaking OOD probes (column shuffling,
+    # modality misalignment) DISTRIBUTIONALLY VACUOUS: permuting i.i.d.
+    # columns is a measure-preserving map, so no detector can or should fire
+    # on them. experiments/ood_study.py uses latent_dim to make those probes
+    # genuine distribution shifts.
+    latent_dim: int | None = None
+    # Fraction of each feature's variance carried by the latent (the rest is
+    # independent noise). Marginals stay ~N(0,1) either way.
+    latent_strength: float = 0.7
     seed: int = 42
     # Seed for the label-generating projections; defaults to `seed`. Give two
     # configs the same label_seed (and different seeds) to create distinct
@@ -46,14 +60,34 @@ class SyntheticConfig:
 
 
 def _make_split(cfg: SyntheticConfig, n: int, rng: np.random.Generator) -> dict:
-    audio = rng.standard_normal((n, cfg.audio_dim)).astype(np.float32)
-    video = rng.standard_normal((n, cfg.video_dim)).astype(np.float32)
-    text = rng.standard_normal((n, cfg.text_dim)).astype(np.float32)
-
     # Fixed random projections (drawn from a seed-derived generator so every
     # split shares the same label function).
     label_seed = cfg.label_seed if cfg.label_seed is not None else cfg.seed
     proj_rng = np.random.default_rng(label_seed + 7919)
+
+    if cfg.latent_dim:
+        # x_m = sqrt(s)·z A_m + sqrt(1-s)·eps with unit-norm mixing columns:
+        # each feature keeps an ~N(0,1) marginal, but features within a
+        # modality are correlated through z and modalities are coupled by
+        # sharing it. The mixing matrices come from proj_rng so every split
+        # (and any config sharing label_seed) lives on the same manifold.
+        z = rng.standard_normal((n, cfg.latent_dim))
+        s = float(np.clip(cfg.latent_strength, 0.0, 1.0))
+
+        def mix(dim: int) -> np.ndarray:
+            a = proj_rng.standard_normal((cfg.latent_dim, dim))
+            a /= np.linalg.norm(a, axis=0, keepdims=True)
+            return np.sqrt(s) * (z @ a) + np.sqrt(1.0 - s) * rng.standard_normal(
+                (n, dim)
+            )
+
+        audio = mix(cfg.audio_dim).astype(np.float32)
+        video = mix(cfg.video_dim).astype(np.float32)
+        text = mix(cfg.text_dim).astype(np.float32)
+    else:
+        audio = rng.standard_normal((n, cfg.audio_dim)).astype(np.float32)
+        video = rng.standard_normal((n, cfg.video_dim)).astype(np.float32)
+        text = rng.standard_normal((n, cfg.text_dim)).astype(np.float32)
     w_a = proj_rng.standard_normal((cfg.audio_dim, cfg.emotion_dims)) / np.sqrt(
         cfg.audio_dim
     )
