@@ -130,6 +130,73 @@ class TestQuantizedExport:
         assert any(val.dtype == np.int8 for val in flat.values())
 
 
+class TestOODExport:
+    @pytest.fixture(scope="class")
+    def detector(self):
+        from tpu_deer.eval.ood import MahalanobisOOD
+
+        rng = np.random.default_rng(5)
+        mods = [rng.normal(size=(512, 16)).astype(np.float32)
+                for _ in range(3)]
+        return MahalanobisOOD().fit_modalities(*mods)
+
+    def test_exported_ood_matches_host_detector(self, tmp_path, detector, rng):
+        model, params = create_complete_deer_model(SMALL, seed=0)
+        out = str(tmp_path / "ood_art")
+        manifest = export_inference(
+            model, params, out, batch_buckets=(1, 4),
+            ood_detector=detector, ood_fpr=0.05,
+        )
+        assert manifest["outputs"][-1] == "ood_score"
+        assert manifest["ood"]["space"] == "input_norm"
+        assert manifest["ood"]["threshold"] == pytest.approx(
+            detector.threshold(0.05)
+        )
+        engine = load_exported(out)
+        req = [rng.standard_normal((3, 16)).astype(np.float32)
+               for _ in range(3)]
+        got = engine.predict(*req)
+        np.testing.assert_allclose(
+            got["ood_score"], detector.score_modalities(*req), rtol=5e-4
+        )
+        np.testing.assert_array_equal(
+            got["is_ood"], got["ood_score"] > detector.threshold(0.05)
+        )
+        # gain invariance survives serialization
+        got2 = engine.predict(*[r * 6.0 for r in req])
+        np.testing.assert_allclose(
+            got2["ood_score"], got["ood_score"], rtol=1e-3
+        )
+
+    def test_ood_composes_with_ensemble(self, tmp_path, detector, rng):
+        from tpu_deer.train.ensemble import create_deer_ensemble
+
+        model, stacked = create_deer_ensemble(SMALL, n_members=2, seed=0)
+        out = str(tmp_path / "ood_ens")
+        export_inference(
+            model, stacked, out, batch_buckets=(2,), ensemble=True,
+            ood_detector=detector,
+        )
+        req = [rng.standard_normal((2, 16)).astype(np.float32)
+               for _ in range(3)]
+        got = load_exported(out).predict(*req)
+        np.testing.assert_allclose(
+            got["ood_score"], detector.score_modalities(*req), rtol=5e-4
+        )
+        assert "is_ood" in got
+
+    def test_fused_space_detector_rejected(self, tmp_path, rng):
+        from tpu_deer.eval.ood import MahalanobisOOD
+
+        det = MahalanobisOOD().fit(rng.normal(size=(64, 8)))
+        model, params = create_complete_deer_model(SMALL, seed=0)
+        with pytest.raises(ValueError, match="input_norm"):
+            export_inference(
+                model, params, str(tmp_path / "x"), batch_buckets=(1,),
+                ood_detector=det,
+            )
+
+
 class TestEnsembleExport:
     def test_exported_ensemble_matches_live_engine(self, tmp_path, rng):
         """Exported stacked-ensemble artifact == the live-jit ensemble

@@ -640,6 +640,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="--mode export: bake the int8 serving path into "
                         "the artifact (4x smaller params, dequant fused "
                         "into the exported StableHLO)")
+    p.add_argument("--ood_detector", metavar="NPZ",
+                   help="--mode export: bake this input_norm Mahalanobis "
+                        "detector (the evaluate stage's "
+                        "results/ood_detector.npz) into the artifact — the "
+                        "exported program gains an ood_score output and the "
+                        "manifest carries the is_ood threshold")
+    p.add_argument("--ood_fpr", type=float, default=0.01,
+                   help="--mode export: training-quantile false-positive "
+                        "rate for the baked is_ood threshold")
     return p
 
 
@@ -725,10 +734,16 @@ def main(argv=None) -> int:
             params = ckpt.restore_params(params, step=step)
         from tpu_deer.export import export_inference
 
+        ood_det = None
+        if args.ood_detector:
+            from tpu_deer.eval.ood import MahalanobisOOD
+
+            ood_det = MahalanobisOOD.load(args.ood_detector)
         out_dir = os.path.join(args.output_dir, "exported_model")
         manifest = export_inference(
             pipeline.model, params, out_dir, quantize=args.int8,
             ensemble=getattr(pipeline, "ensemble_members", 1) > 1,
+            ood_detector=ood_det, ood_fpr=args.ood_fpr,
         )
         print(json.dumps(
             {"export_dir": out_dir,

@@ -67,6 +67,8 @@ def export_inference(
     platforms: Optional[Sequence[str]] = None,
     quantize: bool = False,
     ensemble: bool = False,
+    ood_detector=None,
+    ood_fpr: float = 0.01,
 ) -> dict:
     """Export the deterministic forward for each batch bucket.
 
@@ -84,7 +86,24 @@ def export_inference(
     mean(member uncertainty) + var(member mu), identical to what
     EnsembleTrainer evaluates — so the artifact keeps the standard
     3-output calling convention.
+
+    `ood_detector` (a fitted eval/ood.py:MahalanobisOOD in "input_norm"
+    space) bakes the OOD guardrail into the artifact: the exported program
+    gains an `ood_score` output computed from the per-modality-normalized
+    inputs — the detector's mean/whitener become StableHLO constants, so
+    the artifact stays loadable without any tpu_deer code — and the
+    manifest records the `ood_fpr` training-quantile threshold that
+    ExportedEngine uses to emit `is_ood`. Fused-space detectors are
+    rejected: their features depend on the member tree (ensembles) and the
+    input_norm space is the measured-stronger guardrail anyway
+    (experiments/RESULTS_ood.md).
     """
+    if ood_detector is not None and ood_detector.space != "input_norm":
+        raise ValueError(
+            "export supports 'input_norm'-space OOD detectors only; got "
+            f"space={ood_detector.space!r} (fused-space detectors are for "
+            "representation monitoring, not exported serving)"
+        )
     os.makedirs(output_dir, exist_ok=True)
     cfg = model.config
 
@@ -124,6 +143,23 @@ def export_inference(
 
     else:
         forward = combined
+
+    if ood_detector is not None:
+        from tpu_deer.eval.ood import (
+            input_norm_features_device,
+            mahalanobis_score_device,
+        )
+
+        ood_mean, ood_whitener = ood_detector.device_arrays
+        inner = forward
+
+        def forward(ps, audio, video, text):
+            return inner(ps, audio, video, text) + (
+                mahalanobis_score_device(
+                    input_norm_features_device(audio, video, text),
+                    ood_mean, ood_whitener,
+                ),
+            )
 
     jitted = jax.jit(forward)
     exporter = jax_export.export(
@@ -173,7 +209,8 @@ def export_inference(
             "video_dim": cfg.video_dim,
             "text_dim": cfg.text_dim,
         },
-        "outputs": list(OUTPUT_NAMES),
+        "outputs": list(OUTPUT_NAMES)
+        + (["ood_score"] if ood_detector is not None else []),
         "buckets": sorted(int(b) for b in batch_buckets),
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "artifacts": artifacts,
@@ -186,6 +223,12 @@ def export_inference(
             sum(v.size for k, v in flat.items() if not k.startswith("scale/"))
         ),
     }
+    if ood_detector is not None:
+        manifest["ood"] = {
+            "space": ood_detector.space,
+            "fpr": float(ood_fpr),
+            "threshold": float(ood_detector.threshold(ood_fpr)),
+        }
     with open(os.path.join(output_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
@@ -235,7 +278,11 @@ class ExportedEngine:
             )
             return dict(zip(names, out))
 
-        return bucketed_predict(run, self.buckets, audio, video, text)
+        res = bucketed_predict(run, self.buckets, audio, video, text)
+        ood = self.manifest.get("ood")
+        if ood is not None:
+            res["is_ood"] = res["ood_score"] > ood["threshold"]
+        return res
 
 
 def load_exported(output_dir: str) -> ExportedEngine:
