@@ -266,6 +266,43 @@ class TestStreamingSessions:
         server.shutdown()
         streaming.close()
 
+    def test_streaming_push_returns_ood(self, rng):
+        """A session service built with an input_norm detector returns
+        ood_score + is_ood on every push, matching the host detector."""
+        import dataclasses
+
+        from tpu_deer.eval.ood import MahalanobisOOD
+        from tpu_deer.ops.audio_frontend import AudioFrontendConfig
+        from tpu_deer.server import StreamingSessionService
+        from tpu_deer.stream import StreamingConfig
+
+        cfg = dataclasses.replace(SMALL, audio_dim=84)
+        model, params = create_complete_deer_model(cfg, seed=0)
+        sc = StreamingConfig(
+            frontend=AudioFrontendConfig(n_fft=512, hop_length=128),
+            chunk_samples=2048,
+        )
+        zeros = np.zeros((128, cfg.video_dim), np.float32)
+        det = MahalanobisOOD().fit_modalities(
+            rng.normal(size=(128, 84)).astype(np.float32), zeros,
+            np.zeros((128, cfg.text_dim), np.float32),
+        )
+        svc = StreamingSessionService(
+            model, params, n_streams=2, stream_cfg=sc, ood_detector=det,
+            ood_fpr=0.1,
+        )
+        try:
+            sid = svc.start()
+            out = svc.push(
+                sid, rng.normal(size=sc.chunk_samples).astype(np.float32)
+            )
+            assert isinstance(out["is_ood"], bool)
+            assert out["is_ood"] == (
+                out["ood_score"] > det.threshold(0.1)
+            )
+        finally:
+            svc.close()
+
     def test_session_lifecycle_over_http(self, stream_server, rng):
         import base64
 

@@ -123,6 +123,46 @@ class TestStreamingRecognizer:
             recognizer.push(np.zeros((2, SC.chunk_samples), np.float32))
 
 
+class TestStreamingOOD:
+    def test_push_scores_match_host_detector(self, rng):
+        from tpu_deer.eval.ood import MahalanobisOOD
+
+        model, params = create_complete_deer_model(CFG, seed=0)
+        # Fit on the distribution the sessions will carry: streaming-style
+        # 84-d features + zeroed context (audio-only sessions).
+        fit_feats = rng.normal(size=(256, 84)).astype(np.float32)
+        zeros = np.zeros((256, 8), np.float32)
+        det = MahalanobisOOD().fit_modalities(fit_feats, zeros, zeros)
+        rec = StreamingRecognizer(
+            model, params, n_streams=3, cfg=SC, ood_detector=det,
+            ood_fpr=0.05,
+        )
+        assert rec.ood_threshold == pytest.approx(det.threshold(0.05))
+        chunks = rng.normal(size=(3, SC.chunk_samples)).astype(np.float32)
+        out = rec.push(chunks)
+        assert out["ood_score"].shape == (3,)
+        want = det.score_modalities(
+            out["features"], np.zeros((3, 8)), np.zeros((3, 8))
+        )
+        np.testing.assert_allclose(out["ood_score"], want, rtol=5e-4)
+
+    def test_fused_space_detector_rejected(self, rng):
+        from tpu_deer.eval.ood import MahalanobisOOD
+
+        model, params = create_complete_deer_model(CFG, seed=0)
+        det = MahalanobisOOD().fit(rng.normal(size=(64, 8)))
+        with pytest.raises(ValueError, match="input_norm"):
+            StreamingRecognizer(
+                model, params, n_streams=2, cfg=SC, ood_detector=det
+            )
+
+    def test_no_detector_no_key(self, recognizer, rng):
+        out = recognizer.push(
+            rng.normal(size=(3, SC.chunk_samples)).astype(np.float32)
+        )
+        assert "ood_score" not in out
+
+
 class TestMaskedPush:
     def test_inactive_slots_keep_state(self, rng):
         model, params = create_complete_deer_model(CFG, seed=0)

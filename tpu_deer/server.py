@@ -247,12 +247,14 @@ class StreamingSessionService:
     def __init__(self, model, params, n_streams: int = 64,
                  stream_cfg=None, max_wait_ms: float = 10.0,
                  start: bool = True, warmup: bool = True,
-                 push_timeout_s: float = 600.0):
+                 push_timeout_s: float = 600.0,
+                 ood_detector=None, ood_fpr: float = 0.01):
         from tpu_deer.stream import StreamingConfig, StreamingRecognizer
 
         self.cfg = stream_cfg or StreamingConfig()
         self.rec = StreamingRecognizer(
-            model, params, n_streams=n_streams, cfg=self.cfg
+            model, params, n_streams=n_streams, cfg=self.cfg,
+            ood_detector=ood_detector, ood_fpr=ood_fpr,
         )
         self.push_timeout_s = push_timeout_s
         if warmup:
@@ -437,16 +439,16 @@ class StreamingSessionService:
                     chunks, video=video, text=text, active=active
                 )
                 self.ticks += 1
+                keys = ["mu", "uncertainty", "calibrated_uncertainty"]
+                thr = self.rec.ood_threshold
+                if thr is not None:
+                    keys.append("ood_score")
                 for sid, (_, _, _, fut) in batch.items():
                     slot = slot_of[sid]
-                    fut.set_result(
-                        {
-                            k: out[k][slot].tolist()
-                            for k in (
-                                "mu", "uncertainty", "calibrated_uncertainty"
-                            )
-                        }
-                    )
+                    resp = {k: out[k][slot].tolist() for k in keys}
+                    if thr is not None:
+                        resp["is_ood"] = bool(out["ood_score"][slot] > thr)
+                    fut.set_result(resp)
             except Exception as e:  # noqa: BLE001
                 for _, _, _, fut in batch.values():
                     if not fut.done():
@@ -532,7 +534,9 @@ class PredictionService:
                     f"(audio_dim={config.audio_dim})"
                 )
             streaming = StreamingSessionService(
-                engine.model, params, n_streams=stream_slots
+                engine.model, params, n_streams=stream_slots,
+                ood_detector=kwargs.get("ood_detector"),
+                ood_fpr=kwargs.get("ood_fpr", 0.01),
             )
         return cls(
             engine,

@@ -295,11 +295,31 @@ class StreamingRecognizer:
         params,
         n_streams: int = 8,
         cfg: StreamingConfig = StreamingConfig(),
+        ood_detector=None,
+        ood_fpr: float = 0.01,
     ):
         self.model = model
         self.cfg = cfg
         self.n_streams = n_streams
         self.params = jax.device_put(params)
+        # ood_detector: a fitted eval/ood.py:MahalanobisOOD in "input_norm"
+        # space. The score is computed inside the tick program from the
+        # SAME (features, video, text) triple the model sees — fit the
+        # detector on the context distribution the sessions will carry
+        # (zeros for audio-only sessions count as values: fit with zeroed
+        # video/text then). Each push gains "ood_score"; `ood_threshold`
+        # is exposed for callers that flag at the fitted FPR.
+        self._ood = None
+        self.ood_threshold = None
+        if ood_detector is not None:
+            if ood_detector.space != "input_norm":
+                raise ValueError(
+                    "streaming OOD needs an 'input_norm'-space detector; "
+                    f"got space={ood_detector.space!r}"
+                )
+            mean, whitener = ood_detector.device_arrays
+            self._ood = (jax.device_put(mean), jax.device_put(whitener))
+            self.ood_threshold = float(ood_detector.threshold(ood_fpr))
         self._init_one = init_stream_state(cfg)
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), self._init_one
@@ -320,12 +340,23 @@ class StreamingRecognizer:
             out = model.apply(
                 {"params": params}, feats, video, text, deterministic=True
             )
-            return state, {
+            res = {
                 "features": feats,
                 "mu": out["mu_all"],
                 "uncertainty": out["uncertainty_all"],
                 "calibrated_uncertainty": out["calibrated_uncertainty"],
             }
+            if self._ood is not None:
+                from tpu_deer.eval.ood import (
+                    input_norm_features_device,
+                    mahalanobis_score_device,
+                )
+
+                res["ood_score"] = mahalanobis_score_device(
+                    input_norm_features_device(feats, video, text),
+                    self._ood[0], self._ood[1],
+                )
+            return state, res
 
         self._step = jax.jit(step)
 
