@@ -9,9 +9,10 @@ This engine makes low-latency serving a first-class capability:
   * returns VAD predictions with calibrated uncertainty and the full
     aleatoric/epistemic decomposition.
 
-Measured on one TPU v5e chip (bench.py, forced-fetch timing): 0.12 ms
-p50/sample at serving batch 256 end-to-end (vs the reference's claimed
-47 ms/sample), ~8M samples/s sustained throughput at 40% forward MFU.
+Measured on one TPU v5e chip (bench.py, forced-fetch timing): 0.12-0.14 ms
+p50/sample at serving batch 256 end-to-end, tunnel RTT variance included
+(vs the reference's claimed 47 ms/sample), ~8M samples/s sustained
+throughput at 40% forward MFU.
 """
 
 from __future__ import annotations
