@@ -100,6 +100,19 @@ class TestCLIMain:
     def test_main_mode_test_exit_code(self):
         assert main(["--mode", "test"]) == 0
 
+    def test_platform_cpu_forces_cpu_backend(self):
+        """--platform cpu applies the env + jax.config override (the
+        reference's --gpu device flag, TPU-native)."""
+        import jax
+
+        assert main(["--mode", "test", "--platform", "cpu"]) == 0
+        assert jax.devices()[0].platform == "cpu"
+
+    def test_platform_tpu_errors_loudly_on_cpu_backend(self):
+        """Under the forced-CPU test env, --platform tpu must refuse to
+        run instead of silently training on the host."""
+        assert main(["--mode", "test", "--platform", "tpu"]) == 1
+
     def test_mode_export_produces_loadable_artifact(self, tmp_path):
         """--mode export writes an AOT artifact that predicts (small config
         via a YAML override so the test stays fast)."""

@@ -635,6 +635,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "cross-member disagreement added to the epistemic "
                         "channel). Equivalent to training.ensemble_members "
                         "in the config")
+    p.add_argument("--platform", choices=["auto", "tpu", "cpu"],
+                   default="auto",
+                   help="device backend (reference run_multimodal_deer.py's "
+                        "--gpu flag, TPU-native): 'cpu' forces the CPU "
+                        "backend regardless of ambient JAX_PLATFORMS; 'tpu' "
+                        "asserts an accelerator backend is live and errors "
+                        "loudly otherwise; 'auto' (default) keeps the "
+                        "ambient backend")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="--mode export: bake the int8 serving path into "
@@ -658,6 +666,28 @@ def main(argv=None) -> int:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(levelname)s %(name)s: %(message)s",
     )
+
+    if args.platform == "cpu":
+        # Must land before the first jax backend initialization. Setting
+        # the env var alone is not enough when a sitecustomize registered
+        # an accelerator plugin at interpreter start — override the jax
+        # config too (same recipe as tests/conftest.py).
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif args.platform == "tpu":
+        import jax
+
+        plat = jax.devices()[0].platform
+        if plat == "cpu":
+            logger.error(
+                "--platform tpu requested but only the CPU backend is "
+                "available (jax.devices()[0].platform == 'cpu'); check "
+                "JAX_PLATFORMS and the TPU runtime"
+            )
+            return 1
+        logger.info("accelerator backend confirmed: %s", plat)
 
     if args.mode == "test":
         return 0 if run_component_tests() else 1
