@@ -30,7 +30,16 @@ HERE = Path(__file__).parent
 
 
 def main() -> int:
-    d = np.load(HERE / "RESULTS_synthetic_predictions.npz")
+    npz = HERE / "RESULTS_synthetic_predictions.npz"
+    if not npz.exists():
+        print(
+            f"{npz} missing — regenerate it with "
+            "`python experiments/synthetic_headline.py` (TPU, ~35 min), "
+            "which writes the test-split predictions next to its report.",
+            file=sys.stderr,
+        )
+        return 1
+    d = np.load(npz)
     mu, labels = d["mu"].astype(np.float64), d["labels"].astype(np.float64)
     sigmas = {
         "raw": np.sqrt(np.maximum(d["uncertainty"].astype(np.float64), 1e-12)),
