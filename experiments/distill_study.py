@@ -57,6 +57,9 @@ def main(argv=None) -> int:
     if args.quick:
         args.n_labeled, args.n_unlabeled = 1024, 3072
         args.epochs, args.batch_size = 10, 256
+        if args.out == "experiments/RESULTS_distill":
+            # Never clobber the committed full-run artifact with a smoke.
+            args.out = "experiments/RESULTS_distill_quick"
 
     dtype = "bfloat16" if platform == "tpu" else "float32"
     teacher_cfg = DEERModelConfig(compute_dtype=dtype)

@@ -133,6 +133,9 @@ def main(argv=None) -> int:
     if args.quick:
         args.n_train, args.n_eval = 2048, 1024
         args.epochs, args.members = 6, 3
+        if args.out == "experiments/RESULTS_ensemble":
+            # Never clobber the committed full-run artifact with a smoke.
+            args.out = "experiments/RESULTS_ensemble_quick"
 
     dtype = "bfloat16" if platform == "tpu" else "float32"
     mcfg = DEERModelConfig(compute_dtype=dtype)

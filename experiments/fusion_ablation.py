@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     epochs = args.epochs or (2 if args.quick else 15)
     n_train = args.n_train or (512 if args.quick else 16384)
+    if args.quick and args.out == "experiments/RESULTS_fusion":
+        # Never clobber the committed full-run artifact with a smoke.
+        args.out = "experiments/RESULTS_fusion_quick"
 
     import jax
     import numpy as np

@@ -167,7 +167,9 @@ def main() -> int:
               f"({flops/t/1e12:.1f} TF/s, {t*1e6/N:.2f}us/frame)", flush=True)
 
     # ---- report ---------------------------------------------------------
-    out_path = os.path.join(os.path.dirname(__file__), "RESULTS_kernels.md")
+    # Never clobber the committed full-run artifact with a smoke.
+    out_name = "RESULTS_kernels_quick.md" if args.quick else "RESULTS_kernels.md"
+    out_path = os.path.join(os.path.dirname(__file__), out_name)
     with open(out_path, "w") as f:
         f.write("# Kernel benchmarks — Pallas vs XLA baselines\n\n")
         f.write(

@@ -69,6 +69,9 @@ def main(argv=None) -> int:
     platform = jax.devices()[0].platform
     if args.quick:
         args.n_train, args.n_eval, args.epochs = 2048, 1024, 4
+        if args.out == "experiments/RESULTS_ood":
+            # Never clobber the committed full-run artifact with a smoke.
+            args.out = "experiments/RESULTS_ood_quick"
 
     dtype = "bfloat16" if platform == "tpu" else "float32"
     mcfg = DEERModelConfig(compute_dtype=dtype)

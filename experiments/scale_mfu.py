@@ -142,7 +142,11 @@ def main() -> int:
         print(f"width_mult={width_mult}:", file=sys.stderr)
         all_rows[width_mult] = measure(width_mult, batch_sizes, iters)
 
-    out = Path(__file__).parent / "RESULTS_scale.md"
+    # Never clobber the committed full-run artifact with a smoke.
+    quick_run = args.quick or platform == "cpu"
+    out = Path(__file__).parent / (
+        "RESULTS_scale_quick.md" if quick_run else "RESULTS_scale.md"
+    )
     lines = [
         "# Production-scale MFU study — computed results",
         "",

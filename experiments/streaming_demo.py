@@ -172,7 +172,9 @@ def main() -> int:
     )
 
     best = max(r[2] for r in rows)
-    out_path = os.path.join(os.path.dirname(__file__), "RESULTS_stream.md")
+    # Never clobber the committed full-run artifact with a smoke.
+    out_name = "RESULTS_stream_quick.md" if args.quick else "RESULTS_stream.md"
+    out_path = os.path.join(os.path.dirname(__file__), out_name)
     with open(out_path, "w") as f:
         f.write("# Streaming real-time capacity — computed results\n\n")
         f.write(
