@@ -100,18 +100,14 @@ def make_probes(test: dict, rng) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--n_train", type=int, default=16384)
-    p.add_argument("--n_eval", type=int, default=4096)
-    p.add_argument("--epochs", type=int, default=20)
-    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--n_train", type=int, default=131072)
+    p.add_argument("--n_eval", type=int, default=8192)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--members", type=int, default=4)
-    p.add_argument("--latent_dim", type=int, default=0,
-                   help="shared cross-modal latent for the synthetic inputs "
-                        "(data/synthetic.py). Default 0 = i.i.d. features — "
-                        "matches the committed RESULTS_ensemble.md, but note "
-                        "the shuffled/misaligned probes are measure-"
-                        "preserving (vacuous) there; pass e.g. 16 to make "
-                        "them genuine breaks as in RESULTS_ood.md")
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="uncertainty-playbook recipe (RESULTS_uncertainty_"
+                        "diag.md: dropout 0.3 destroys uncertainty ranking)")
     p.add_argument("--out", default="experiments/RESULTS_ensemble")
     args = p.parse_args(argv)
 
@@ -120,7 +116,7 @@ def main(argv=None) -> int:
 
     from tpu_deer.core import metrics as M
     from tpu_deer.data.pipeline import ArrayDataset
-    from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+    from tpu_deer.data.synthetic import benchmark_v2, make_synthetic_splits
     from tpu_deer.eval.calibration import fit_uncertainty_scale
     from tpu_deer.eval.uncertainty import sparsification_curve
     from tpu_deer.models.deer_model import (
@@ -133,22 +129,47 @@ def main(argv=None) -> int:
     if args.quick:
         args.n_train, args.n_eval = 2048, 1024
         args.epochs, args.members = 6, 3
+        args.batch_size = min(args.batch_size, 512)
         if args.out == "experiments/RESULTS_ensemble":
             # Never clobber the committed full-run artifact with a smoke.
             args.out = "experiments/RESULTS_ensemble_quick"
 
     dtype = "bfloat16" if platform == "tpu" else "float32"
-    mcfg = DEERModelConfig(compute_dtype=dtype)
+    mcfg = DEERModelConfig(compute_dtype=dtype, dropout=args.dropout)
 
-    splits = make_synthetic_splits(SyntheticConfig(
+    # Benchmark v2: latent-structured cross-modal data, so the shuffled/
+    # misaligned probes are genuine distribution shifts (v1's i.i.d.
+    # features made them measure-preserving, hence vacuous).
+    splits = make_synthetic_splits(benchmark_v2(
         n_train=args.n_train, n_val=args.n_eval, n_test=args.n_eval,
-        latent_dim=args.latent_dim or None,
     ))
     train = {"synthetic": ArrayDataset(splits["train"], "synthetic")}
     val_ds = ArrayDataset(splits["val"], "synthetic")
     val = {"synthetic": val_ds}
     test = splits["test"]
     test_ds = ArrayDataset(test, "synthetic")
+
+    # Data ceiling (MC oracle from the generative model): mu* = E[y|x] and
+    # unc* = E[|y - mu*| | x], Monte-Carlo'd from the known signal and noise
+    # scale. No model can beat these r/AUSE numbers on this data — quote
+    # them next to the model rows (VERDICT r3 task 1: either corr >= 0.7 or
+    # an explicit measured data-regime bound).
+    o_rng = np.random.default_rng(7)
+    sig, ns = test["signal"], test["noise_scale"][:, None]
+    draws = np.tanh(
+        sig[None] + ns[None] * o_rng.standard_normal((256, *sig.shape))
+    ).astype(np.float32)
+    mu_star = draws.mean(axis=0)
+    unc_star = np.abs(draws - mu_star[None]).mean(axis=0).mean(axis=1)
+    err_star = np.abs(test["labels"] - mu_star).mean(axis=1)
+    ceiling = {
+        "ccc": float(np.mean([
+            M.ccc_np(test["labels"][:, d], mu_star[:, d]) for d in range(3)
+        ])),
+        "r": float(np.corrcoef(unc_star, err_star)[0, 1]),
+        "ause": float(sparsification_curve(err_star, unc_star)["ause"]),
+    }
+    del draws
 
     # OOD variants of the test features (labels irrelevant for detection).
     rng = np.random.default_rng(123)
@@ -271,8 +292,16 @@ def main(argv=None) -> int:
         "computed results",
         "",
         f"- platform: **{platform}**, {args.n_train} train samples, "
-        f"{args.epochs} epochs, K={args.members} members "
-        f"(one vmapped XLA program), {elapsed:.0f}s total",
+        f"{args.epochs} epochs, dropout {args.dropout} (uncertainty-"
+        f"playbook recipe, RESULTS_uncertainty_diag.md), K={args.members} "
+        f"members (one vmapped XLA program), {elapsed:.0f}s total",
+        "- benchmark v2 (`data/synthetic.py:benchmark_v2`): latent-"
+        "structured cross-modal data, so shuffled/misaligned probes are "
+        "genuine distribution shifts",
+        f"- **data ceiling** (MC oracle from the generative model): CCC "
+        f"{ceiling['ccc']:.3f}, unc-err corr {ceiling['r']:.3f}, AUSE "
+        f"{ceiling['ause']:.3f} — no model can beat these on this data; "
+        f"read the corr column against the {ceiling['r']:.3f} bound",
         f"- member CCCs: {', '.join(f'{c:.3f}' for c in member_ccc)} -> "
         f"ensemble {e_row['ccc_avg']:.3f} (moment-matched combination)",
         "- OOD AUROC scores epistemic uncertainty as the detector: "
@@ -311,24 +340,55 @@ def main(argv=None) -> int:
         + " — the delta vs the ensemble row is what member disagreement "
         "alone contributes.",
         "",
-        "Takeaways:",
-        f"- In-distribution the ensemble wins every column: CCC "
-        f"{e_row['ccc_avg']:.3f} vs {s_row['ccc_avg']:.3f} single "
-        f"(+{e_row['ccc_avg'] - best_member:.3f} over even the BEST "
-        f"member — the combination itself helps), and ranking/AUSE/ECE "
-        f"improve monotonically single -> MC dropout -> ensemble.",
-        f"- MC dropout is the cheap middle ground: no retraining, "
-        f"uncertainty ranking improves (corr "
-        f"{s_row['unc_err_corr']:.3f} -> {m_row['unc_err_corr']:.3f}), "
-        f"accuracy unchanged.",
-        f"- HONEST NEGATIVE: none of the epistemic channels is a usable "
-        f"OOD detector on these probes (best AUROC {best_ood:.3f}). The "
-        f"NIG evidence head extrapolates confidently off-manifold — a "
-        f"known evidential-regression failure mode — and member "
-        f"disagreement does not rescue it: members trained on the same "
-        f"data agree even where they are all wrong. Deployment guardrails "
-        f"should come from conformal intervals (eval/conformal.py) and "
-        f"input-space checks, not from trusting epistemic spikes.",
+        "Takeaways (computed from this run, not asserted):",
+    ]
+    if e_row["ccc_avg"] > best_member:
+        md.append(
+            f"- Ensemble CCC {e_row['ccc_avg']:.3f} beats even the best "
+            f"member ({best_member:.3f}) — the combination itself helps "
+            f"(single model: {s_row['ccc_avg']:.3f})."
+        )
+    else:
+        md.append(
+            f"- Ensemble CCC {e_row['ccc_avg']:.3f} vs best member "
+            f"{best_member:.3f}, single {s_row['ccc_avg']:.3f} — at this "
+            f"data scale the combination does not beat the best member."
+        )
+    mc_delta = m_row["unc_err_corr"] - s_row["unc_err_corr"]
+    md.append(
+        f"- MC dropout (no retraining): unc-err corr "
+        f"{s_row['unc_err_corr']:.3f} -> {m_row['unc_err_corr']:.3f} "
+        f"({'+' if mc_delta >= 0 else ''}{mc_delta:.3f}), CCC "
+        f"{s_row['ccc_avg']:.3f} -> {m_row['ccc_avg']:.3f}."
+    )
+    best_corr = max(r["unc_err_corr"] for r in rows)
+    md.append(
+        f"- Best unc-err corr {best_corr:.3f} against the data ceiling "
+        f"{ceiling['r']:.3f} (the binary-hardness generative model bounds "
+        f"what any uncertainty estimate can correlate with realized "
+        f"error); best AUSE "
+        f"{min(r['ause'] for r in rows):.3f} vs ceiling "
+        f"{ceiling['ause']:.3f}."
+    )
+    if best_ood < 0.8:
+        md.append(
+            f"- HONEST NEGATIVE: none of the epistemic channels is a "
+            f"reliable OOD detector on these probes (best AUROC "
+            f"{best_ood:.3f}). The NIG evidence head extrapolates "
+            f"confidently off-manifold — a known evidential-regression "
+            f"failure mode — and member disagreement does not fully "
+            f"rescue it. Deployment guardrails should come from conformal "
+            f"intervals (eval/conformal.py) and input-space checks "
+            f"(eval/ood.py Mahalanobis, RESULTS_ood.md), not from "
+            f"trusting epistemic spikes."
+        )
+    else:
+        md.append(
+            f"- On latent-structured data the epistemic channels DO "
+            f"separate these probes (best AUROC {best_ood:.3f}); see "
+            f"RESULTS_ood.md for the input-space guardrail comparison."
+        )
+    md += [
         "",
         "Reproduce: `python experiments/ensemble_study.py`"
         " (add `--quick` for a CPU smoke).",

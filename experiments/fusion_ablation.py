@@ -30,10 +30,13 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--n_train", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="uncertainty-playbook recipe (RESULTS_uncertainty_"
+                        "diag.md: dropout 0.3 destroys uncertainty ranking)")
     p.add_argument("--out", default="experiments/RESULTS_fusion")
     args = p.parse_args(argv)
-    epochs = args.epochs or (2 if args.quick else 15)
-    n_train = args.n_train or (512 if args.quick else 16384)
+    epochs = args.epochs or (2 if args.quick else 20)
+    n_train = args.n_train or (512 if args.quick else 32768)
     if args.quick and args.out == "experiments/RESULTS_fusion":
         # Never clobber the committed full-run artifact with a smoke.
         args.out = "experiments/RESULTS_fusion_quick"
@@ -42,7 +45,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from tpu_deer.data.pipeline import ArrayDataset
-    from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+    from tpu_deer.data.synthetic import benchmark_v2, make_synthetic_splits
     from tpu_deer.eval.evaluator import DEERModelEvaluator
     from tpu_deer.models.deer_model import (
         DEERModelConfig,
@@ -52,12 +55,9 @@ def main(argv=None) -> int:
     from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
 
     platform = jax.devices()[0].platform
-    splits = make_synthetic_splits(
-        SyntheticConfig(
-            n_train=n_train, n_val=max(n_train // 8, 128),
-            n_test=max(n_train // 8, 128),
-        )
-    )
+    # Benchmark v2: latent-structured cross-modal data, the regime fusion
+    # modules exist for (complementary modality views of a shared latent).
+    splits = make_synthetic_splits(benchmark_v2(n_train=n_train))
     train_ds = ArrayDataset(splits["train"], "synthetic")
     val_ds = ArrayDataset(splits["val"], "synthetic")
     test_ds = ArrayDataset(splits["test"], "synthetic")
@@ -68,6 +68,7 @@ def main(argv=None) -> int:
         cfg = DEERModelConfig(
             compute_dtype="bfloat16" if platform == "tpu" else "float32",
             fusion_type=fusion,
+            dropout=args.dropout,
         )
         model, params = create_complete_deer_model(cfg, seed=0)
         n_params = count_parameters(params)
@@ -87,11 +88,13 @@ def main(argv=None) -> int:
             "ccc_average": float(res.ccc_average),
             "mae_average": float(res.mae_average),
             "ece": float(res.ece),
+            "unc_err_corr": float(res.uncertainty_error_correlation),
             "n_params": int(n_params),
         }
         print(
             f"{fusion:>12}: CCC {res.ccc_average:.3f} MAE "
             f"{res.mae_average:.3f} ECE {res.ece:.3f} "
+            f"corr {res.uncertainty_error_correlation:.3f} "
             f"({n_params:,} params)",
             flush=True,
         )
@@ -104,20 +107,27 @@ def main(argv=None) -> int:
         "# Fusion-zoo ablation — computed results",
         "",
         f"- platform: **{platform}**, {n_train} train samples, {epochs} "
-        f"epochs per strategy, {elapsed:.0f}s total",
+        f"epochs per strategy, dropout {args.dropout}, {elapsed:.0f}s total",
+        "- benchmark v2 (`data/synthetic.py:benchmark_v2`): latent-"
+        "structured cross-modal data; dropout follows the uncertainty "
+        "playbook (RESULTS_uncertainty_diag.md — the round-2 run at the "
+        "default 0.3 had calibrated ECE 0.14-0.49 because heavy dropout "
+        "destroys the uncertainty ranking the calibration fit relies on)",
         "- same flagship model, only `DEERModelConfig.fusion_type` varies "
         "(the reference ships these modules but never compares them)",
         "- ECE uses the deployable calibrated uncertainty with a post-hoc "
         "scale fit on the validation split",
         "",
-        "| fusion | CCC avg | MAE avg | ECE (calibrated) | params |",
-        "|---|---|---|---|---|",
+        "| fusion | CCC avg | MAE avg | ECE (calibrated) | unc-err corr "
+        "| params |",
+        "|---|---|---|---|---|---|",
     ]
     for key, r in results.items():
         mark = " **(best)**" if key == best else ""
         md.append(
             f"| {key}{mark} | {r['ccc_average']:.3f} | "
             f"{r['mae_average']:.3f} | {r['ece']:.3f} | "
+            f"{r['unc_err_corr']:.3f} | "
             f"{r['n_params']:,} |"
         )
     with open(args.out + ".md", "w") as f:
