@@ -1,11 +1,14 @@
 """Worker process for the 2-process multi-host runtime integration test.
 
 Launched by tests/test_runtime.py with:
-    python tests/_runtime_worker.py <process_id> <num_processes> <port>
+    python tests/_runtime_worker.py <process_id> <num_processes> <port> [ckpt_dir]
 Environment (set by the parent): JAX_PLATFORMS=cpu,
 XLA_FLAGS=--xla_force_host_platform_device_count=<local devices>.
 
-Prints one line: RESULT <process_id> <loss> <ccc>
+Prints: RESULT <process_id> <loss> <ccc>
+and, when ckpt_dir is given (shared filesystem), after a save -> restore ->
+step round trip through the shard-aware CheckpointManager:
+        CKPT <process_id> <restored_step> <post_resume_loss>
 """
 
 import sys
@@ -15,6 +18,7 @@ def main() -> int:
     process_id = int(sys.argv[1])
     num_processes = int(sys.argv[2])
     port = sys.argv[3]
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
 
     import jax
 
@@ -107,6 +111,35 @@ def main() -> int:
     ccc = float(jax.device_get(dist_ccc(sharded["labels"], eval_out["mu"])))
 
     print(f"RESULT {process_id} {loss:.8f} {ccc:.8f}", flush=True)
+
+    if ckpt_dir:
+        # Multi-process shard-aware checkpoint: each process writes only its
+        # own devices' shards (barrier-coordinated), then restores re-placed
+        # on the global mesh and takes one more step.
+        from tpu_deer.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        mgr.save(state, step=int(state.step))
+        restored = mgr.restore(state)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            # Compare per-addressable-shard: works even when a leaf's global
+            # array spans devices this process cannot read.
+            for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+                np.testing.assert_array_equal(
+                    np.asarray(sa.data), np.asarray(sb.data)
+                )
+        # Read the restored step BEFORE the train step: the jitted step
+        # donates its state argument, deleting `restored`'s buffers.
+        restored_step = int(jax.device_get(restored.step))
+        state2, aux2 = trainer._train_step(
+            restored, sharded, jnp.asarray(1.0), jnp.asarray(1.0)
+        )
+        loss2 = float(jax.device_get(aux2["loss"]))
+        print(f"CKPT {process_id} {restored_step} {loss2:.8f}", flush=True)
+
     shutdown_runtime(rt)
     return 0
 

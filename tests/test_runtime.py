@@ -120,13 +120,16 @@ class TestRuntimeSingleProcess:
 
 @pytest.mark.slow
 class TestTwoProcessIntegration:
-    def test_two_process_train_step_matches(self):
+    def test_two_process_train_step_matches(self, tmp_path):
         """2 real OS processes × 4 virtual CPU devices each: distributed
         init, global mesh, per-process batch feeding, one sharded train step
-        + psum'd CCC. Both processes must agree and results be finite."""
+        + psum'd CCC, then a shard-aware checkpoint save -> restore -> step
+        round trip on the shared filesystem. Both processes must agree and
+        results be finite."""
         with socket.socket() as s:
             s.bind(("localhost", 0))
             port = s.getsockname()[1]
+        ckpt_dir = str(tmp_path / "ckpt")
 
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
@@ -144,13 +147,14 @@ class TestTwoProcessIntegration:
         worker = os.path.join(REPO, "tests", "_runtime_worker.py")
         procs = [
             subprocess.Popen(
-                [sys.executable, worker, str(pid), "2", str(port)],
+                [sys.executable, worker, str(pid), "2", str(port), ckpt_dir],
                 env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
             for pid in range(2)
         ]
         results = {}
+        ckpt = {}
         for p in procs:
             out, err = p.communicate(timeout=600)
             assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
@@ -158,9 +162,25 @@ class TestTwoProcessIntegration:
                 if line.startswith("RESULT"):
                     _, pid, loss, ccc = line.split()
                     results[int(pid)] = (float(loss), float(ccc))
+                elif line.startswith("CKPT"):
+                    _, pid, step, loss2 = line.split()
+                    ckpt[int(pid)] = (int(step), float(loss2))
         assert set(results) == {0, 1}, results
         (l0, c0), (l1, c1) = results[0], results[1]
         assert np.isfinite(l0) and np.isfinite(c0)
         # SPMD: both controllers compute the identical global values.
         assert abs(l0 - l1) < 1e-6, results
         assert abs(c0 - c1) < 1e-6, results
+        # Checkpoint round trip ran on both processes, restored the saved
+        # step, and the post-resume losses agree.
+        assert set(ckpt) == {0, 1}, ckpt
+        assert ckpt[0][0] == ckpt[1][0] == 1, ckpt
+        assert np.isfinite(ckpt[0][1]) and abs(ckpt[0][1] - ckpt[1][1]) < 1e-6
+        # The save used the chunked shard-aware layout on the shared dir.
+        step_dirs = [
+            d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+        ]
+        assert step_dirs, os.listdir(ckpt_dir)
+        assert os.path.exists(
+            os.path.join(ckpt_dir, step_dirs[0], "manifest.json")
+        )

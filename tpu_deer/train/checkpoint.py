@@ -15,6 +15,20 @@ weights only. This implementation makes the capability real:
     on a single background worker — the train loop never stalls on disk.
     Reads (`restore`/`all_steps`/`metadata`) and `wait()` drain the queue
     first, so the async mode is observationally identical to sync.
+  * SHARD-AWARE distributed save/restore: when the state carries
+    mesh-sharded arrays (FSDP / TP / ensemble layouts) or the run spans
+    multiple processes, `save` switches to a chunked layout — each process
+    writes only the array shards its own devices own (replica 0 of each
+    distinct shard writes exactly once, so nothing is duplicated and no
+    host ever materializes the full state), plus a manifest describing the
+    global shapes and chunk index ranges. `restore` reassembles from the
+    chunks and RE-PLACES each leaf onto the template's sharding via
+    `jax.make_array_from_callback`, reading only the slices the local
+    devices need — so a checkpoint written under one layout (say FSDP over
+    4x2) restores cleanly under another (say TP, or a different mesh
+    shape). Multi-process saves are coordinated with
+    `multihost_utils.sync_global_devices` barriers; the directory must be
+    on a filesystem all processes share.
 """
 
 from __future__ import annotations
@@ -28,6 +42,172 @@ from typing import Any, Optional
 import flax.serialization
 import jax
 import numpy as np
+
+
+class _EmptyDict:
+    """Sentinel for an empty dict node (e.g. optax EmptyState serializes to
+    {}): it must round-trip through the flat key space, not be dropped."""
+
+
+_EMPTY = _EmptyDict()
+
+
+def _flatten_state_dict(sd: Any, prefix: str = "") -> dict:
+    """Nested flax state dict -> {'a/b/c': leaf} (keys are always str)."""
+    if isinstance(sd, dict):
+        if not sd and prefix:
+            return {prefix[:-1]: _EMPTY}
+        out = {}
+        for k, v in sd.items():
+            out.update(_flatten_state_dict(v, f"{prefix}{k}/"))
+        return out
+    return {prefix[:-1]: sd}
+
+
+def _unflatten_state_dict(flat: dict) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = {} if isinstance(v, _EmptyDict) else v
+    return out
+
+
+def _index_spec(index, shape) -> list[list[int]]:
+    """Tuple-of-slices shard index -> [[start, stop], ...] resolved."""
+    out = []
+    for sl, dim in zip(index, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        out.append([start, stop])
+    return out
+
+
+def _chunk_name(key: str, spec) -> str:
+    safe = key.replace("/", ".")
+    if not spec:
+        return f"{safe}__full.npy"
+    return f"{safe}__" + ".".join(f"{a}_{b}" for a, b in spec) + ".npy"
+
+
+def _is_mesh_sharded(v) -> bool:
+    return isinstance(v, jax.Array) and not v.sharding.is_fully_replicated
+
+
+def _needs_sharded_format(leaves) -> bool:
+    return jax.process_count() > 1 or any(_is_mesh_sharded(v) for v in leaves)
+
+
+def _barrier(name: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def _snapshot_chunks(flat: dict) -> tuple[dict, list]:
+    """Build (manifest, chunks-this-process-writes). Runs on the caller
+    thread so the host copies are consistent with the requesting step even
+    under donating train steps. Each distinct shard index is written by its
+    replica-0 device's process only — no duplication, and no process ever
+    materializes more than the state its own devices hold."""
+    proc0 = jax.process_index() == 0
+    leaves: dict = {}
+    chunks: list = []
+    for key, v in flat.items():
+        if isinstance(v, jax.Array):
+            shape, dtype = v.shape, v.dtype
+            specs = sorted(
+                {
+                    tuple(map(tuple, _index_spec(idx, shape)))
+                    for idx in v.sharding.devices_indices_map(shape).values()
+                }
+            )
+            leaves[key] = {
+                "shape": list(shape),
+                "dtype": str(dtype),
+                "chunks": [list(map(list, s)) for s in specs],
+            }
+            for shard in v.addressable_shards:
+                if shard.replica_id == 0:
+                    spec = _index_spec(shard.index, shape)
+                    chunks.append((_chunk_name(key, spec), np.asarray(shard.data)))
+        elif isinstance(v, (np.ndarray, np.generic)):
+            arr = np.asarray(v)
+            full = [[0, d] for d in arr.shape]
+            leaves[key] = {
+                "shape": list(arr.shape),
+                "dtype": str(arr.dtype),
+                "chunks": [full],
+            }
+            if proc0:
+                chunks.append((_chunk_name(key, full), arr))
+        elif isinstance(v, _EmptyDict):
+            leaves[key] = {"empty_dict": True}
+        else:
+            leaves[key] = {"value": v}
+    return {"format": 1, "leaves": leaves}, chunks
+
+
+def _read_region(arrays_dir: str, key: str, meta: dict, spec, cache: dict):
+    """Assemble the [start, stop) region `spec` of leaf `key` from its saved
+    chunks (mmap'd, so only the needed slices are read). Works across
+    layouts: the saved chunking and the requested region are independent."""
+    dtype = np.dtype(meta["dtype"])
+    out = np.empty([e - s for s, e in spec], dtype)
+    filled = 0
+    for cspec in meta["chunks"]:
+        inter = [
+            (max(s, cs), min(e, ce)) for (s, e), (cs, ce) in zip(spec, cspec)
+        ]
+        if any(a >= b for a, b in inter):
+            continue
+        fname = _chunk_name(key, cspec)
+        if fname not in cache:
+            cache[fname] = np.load(
+                os.path.join(arrays_dir, fname), mmap_mode="r"
+            )
+        chunk = cache[fname]
+        src = tuple(
+            slice(a - cs, b - cs) for (a, b), (cs, _) in zip(inter, cspec)
+        )
+        dst = tuple(slice(a - s, b - s) for (a, b), (s, _) in zip(inter, spec))
+        out[dst] = chunk[src]
+        filled += int(np.prod([b - a for a, b in inter]))
+    if filled < out.size:
+        raise ValueError(
+            f"checkpoint chunks for {key!r} cover {filled}/{out.size} "
+            f"elements of region {spec} — corrupt or incomplete save"
+        )
+    return out
+
+
+def _read_leaf(path: str, key: str, meta: dict, target):
+    if meta.get("empty_dict"):
+        return _EMPTY
+    if "value" in meta:
+        return meta["value"]
+    arrays_dir = os.path.join(path, "arrays")
+    shape = tuple(meta["shape"])
+    cache: dict = {}
+    if isinstance(target, jax.Array):
+        # Re-place per the template's mesh rules: each device's callback
+        # reads only the slice that device needs, so restore scales like
+        # the sharded save did (and a checkpoint saved under one layout
+        # restores under another).
+        sharding = target.sharding
+        return jax.make_array_from_callback(
+            shape,
+            sharding,
+            lambda idx: _read_region(
+                arrays_dir, key, meta, _index_spec(idx, shape), cache
+            ),
+        )
+    full = [[0, d] for d in shape]
+    arr = _read_region(arrays_dir, key, meta, full, cache)
+    return arr if shape else arr[()]
 
 
 class CheckpointManager:
@@ -79,8 +259,15 @@ class CheckpointManager:
         metrics: Optional[dict] = None,
         is_best: bool = False,
     ) -> str:
-        """Serialize `state` (any pytree) + metadata. Returns the ckpt dir."""
+        """Serialize `state` (any pytree) + metadata. Returns the ckpt dir.
+
+        Plain (replicated / host) state goes to one msgpack file; state with
+        mesh-sharded leaves — or any multi-process run — goes to the chunked
+        shard-aware layout (see module docstring)."""
         path = self._step_dir(step)
+        flat = _flatten_state_dict(flax.serialization.to_state_dict(state))
+        if _needs_sharded_format(flat.values()):
+            return self._save_sharded(path, flat, step, metrics, is_best)
         # Snapshot on the caller thread: after device_get the bytes can't be
         # mutated by subsequent (donating) train steps.
         host_state = jax.device_get(state)
@@ -93,6 +280,57 @@ class CheckpointManager:
                 shutil.copytree(path, self.best_dir)
             self._prune()
 
+        self._dispatch(commit)
+        return path
+
+    def _save_sharded(self, path: str, flat: dict, step: int,
+                      metrics: Optional[dict], is_best: bool) -> str:
+        manifest, chunks = _snapshot_chunks(flat)  # caller thread: consistent
+        proc0 = jax.process_index() == 0
+
+        def write_chunks():
+            arrays_dir = os.path.join(path, "arrays")
+            os.makedirs(arrays_dir, exist_ok=True)
+            for rel, arr in chunks:
+                np.save(os.path.join(arrays_dir, rel), arr)
+            if proc0:
+                with open(os.path.join(path, "manifest.json"), "w") as f:
+                    json.dump(manifest, f)
+                meta = {
+                    "step": step,
+                    "metrics": _to_jsonable(metrics or {}),
+                    "format": "sharded",
+                    "process_count": jax.process_count(),
+                }
+                with open(os.path.join(path, "meta.json"), "w") as f:
+                    json.dump(meta, f, indent=2)
+
+        if jax.process_count() > 1:
+            # Multi-process saves are synchronous: the barriers ARE the
+            # consistency mechanism, and they must not run on a worker.
+            write_chunks()
+            _barrier(f"ckpt_save_{step}_chunks")  # all shards on disk
+            if proc0:
+                if is_best:
+                    if os.path.isdir(self.best_dir):
+                        shutil.rmtree(self.best_dir)
+                    shutil.copytree(path, self.best_dir)
+                self._prune()
+            _barrier(f"ckpt_save_{step}_done")
+            return path
+
+        def commit():
+            write_chunks()
+            if is_best:
+                if os.path.isdir(self.best_dir):
+                    shutil.rmtree(self.best_dir)
+                shutil.copytree(path, self.best_dir)
+            self._prune()
+
+        self._dispatch(commit)
+        return path
+
+    def _dispatch(self, commit) -> None:
         if self._pool is None:
             commit()
         else:
@@ -119,14 +357,14 @@ class CheckpointManager:
                         )
             if first_exc is not None:
                 raise first_exc
-        return path
 
     def _write(self, path: str, host_state: Any, step: int,
                metrics: Optional[dict]):
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "state.msgpack"), "wb") as f:
             f.write(flax.serialization.to_bytes(host_state))
-        meta = {"step": step, "metrics": _to_jsonable(metrics or {})}
+        meta = {"step": step, "metrics": _to_jsonable(metrics or {}),
+                "format": "msgpack"}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
 
@@ -155,7 +393,12 @@ class CheckpointManager:
 
     def restore(self, template: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of `template` (an abstract or concrete
-        state pytree). step=None → latest; step='best' → best checkpoint."""
+        state pytree). step=None → latest; step='best' → best checkpoint.
+
+        Sharded checkpoints are reassembled from their chunks; any template
+        leaf that is a jax.Array is re-placed onto ITS sharding (each device
+        reads only the slices it needs), so a state saved under one mesh
+        layout restores under another."""
         self.wait()
         if step == "best":
             path = self.best_dir
@@ -165,8 +408,29 @@ class CheckpointManager:
                 if step is None:
                     raise FileNotFoundError(f"no checkpoints in {self.directory}")
             path = self._step_dir(step)
+        if os.path.exists(os.path.join(path, "manifest.json")):
+            return self._restore_sharded(path, template)
         with open(os.path.join(path, "state.msgpack"), "rb") as f:
             return flax.serialization.from_bytes(template, f.read())
+
+    def _restore_sharded(self, path: str, template: Any) -> Any:
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        flat_t = _flatten_state_dict(flax.serialization.to_state_dict(template))
+        missing = [k for k in flat_t if k not in manifest["leaves"]]
+        if missing:
+            raise ValueError(
+                f"sharded checkpoint at {path} lacks template leaves "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''}"
+            )
+        flat_r = {
+            key: _read_leaf(path, key, meta, flat_t.get(key))
+            for key, meta in manifest["leaves"].items()
+            if key in flat_t
+        }
+        return flax.serialization.from_state_dict(
+            template, _unflatten_state_dict(flat_r)
+        )
 
     def restore_params(self, params_template: Any, step=None) -> Any:
         """Restore just the model parameters from a saved TrainState (for
@@ -181,6 +445,22 @@ class CheckpointManager:
                 if step is None:
                     raise FileNotFoundError(f"no checkpoints in {self.directory}")
             path = self._step_dir(step)
+        if os.path.exists(os.path.join(path, "manifest.json")):
+            with open(os.path.join(path, "manifest.json")) as f:
+                manifest = json.load(f)
+            flat_t = _flatten_state_dict(
+                flax.serialization.to_state_dict(params_template)
+            )
+            flat_r = {
+                key[len("params/"):]: _read_leaf(
+                    path, key, meta, flat_t.get(key[len("params/"):])
+                )
+                for key, meta in manifest["leaves"].items()
+                if key.startswith("params/")
+            }
+            return flax.serialization.from_state_dict(
+                params_template, _unflatten_state_dict(flat_r)
+            )
         with open(os.path.join(path, "state.msgpack"), "rb") as f:
             raw = flax.serialization.msgpack_restore(f.read())
         return flax.serialization.from_state_dict(params_template, raw["params"])
