@@ -113,7 +113,8 @@ def main(argv=None) -> int:
 
     platform = jax.devices()[0].platform
 
-    # Round-2 findings (RESULTS_uncertainty_diag{,2}.json):
+    # Round-2 findings (RESULTS_uncertainty_diag.json + diag_history/ —
+    # batch→section map in diag_history/INDEX.md):
     #   batch 1: KL weight is NOT the cap; r(uncertainty, true noise) ~ 0 at
     #     16k samples; mu approximation error dominates realized error.
     #   batch 2: 64k samples + dropout 0.1 -> r(uncertainty, true noise)

@@ -1,0 +1,70 @@
+"""Artifact hygiene: every committed experiment report must be reachable.
+
+VERDICT round-2 flagged scratch JSONs accumulating beside the consolidated
+reports ("an archaeology layer a reader must reverse-engineer"). These tests
+keep the artifact set navigable:
+
+  * every tracked `experiments/RESULTS_*.md` is referenced from README.md or
+    docs/ (orphaned reports can't accumulate);
+  * every tracked `experiments/*.json` is either the sibling of a same-stem
+    report `.md` or indexed by a `*/INDEX.md` (no free-floating scratch
+    outputs).
+"""
+
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tracked(pattern: str) -> list:
+    out = subprocess.run(
+        ["git", "ls-files", pattern], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    return out
+
+
+def _doc_corpus(extra: tuple = ()) -> str:
+    chunks = []
+    for path in ["README.md"] + _tracked("docs/*.md") + list(extra):
+        with open(os.path.join(REPO, path)) as f:
+            chunks.append(f.read())
+    return "\n".join(chunks)
+
+
+def test_every_results_md_is_referenced_from_readme_or_docs():
+    corpus = _doc_corpus()
+    orphans = [
+        path
+        for path in _tracked("experiments/RESULTS_*.md")
+        if os.path.basename(path) not in corpus
+    ]
+    assert not orphans, (
+        f"orphaned result artifacts (add a pointer in README.md or docs/): "
+        f"{orphans}"
+    )
+
+
+def test_every_experiment_json_is_anchored():
+    tracked = set(_tracked("experiments/**"))
+    # INDEX.md files anchor everything in their directory.
+    indexed_dirs = {
+        os.path.dirname(p) for p in tracked if p.endswith("/INDEX.md")
+    }
+    corpus = _doc_corpus(
+        extra=tuple(p for p in sorted(tracked) if p.endswith(".md"))
+    )
+    loose = []
+    for path in sorted(p for p in tracked if p.endswith(".json")):
+        if os.path.dirname(path) in indexed_dirs:
+            continue
+        if path[: -len(".json")] + ".md" in tracked:
+            continue  # sibling report with the same stem
+        if os.path.basename(path) in corpus:
+            continue  # explicitly pointed at from README/docs/reports
+        loose.append(path)
+    assert not loose, (
+        f"scratch JSONs without a same-stem report, an INDEX.md, or a "
+        f"docs pointer: {loose}"
+    )
