@@ -83,7 +83,13 @@ def main(argv=None) -> int:
         )
         trainer.train({"s": train_ds}, {"s": val_ds})
         evaluator = DEERModelEvaluator(n_bootstrap=0, seed=0)
-        res = evaluator.evaluate_model(trainer, test_ds, n_parameters=n_params)
+        # calibration_dataset=val fits the post-hoc uncertainty scale the md
+        # table quotes — without it the ECE column is the raw (unscaled)
+        # deployable uncertainty, which sat at 0.21-0.23 in trial runs.
+        res = evaluator.evaluate_model(
+            trainer, test_ds, n_parameters=n_params,
+            calibration_dataset=val_ds,
+        )
         results[fusion] = {
             "ccc_average": float(res.ccc_average),
             "mae_average": float(res.mae_average),
