@@ -457,7 +457,7 @@ def run_raw_pipeline(args) -> dict:
     """
     import jax.numpy as jnp
 
-    from tpu_deer.data.raw_corpus import generate_raw_fixture, load_raw_corpus
+    from tpu_deer.data import raw_corpus as rc
     from tpu_deer.eval.evaluator import DEERModelEvaluator
     from tpu_deer.models.hierarchical_deer import RawSequenceDEERModel
     from tpu_deer.train.raw_trainer import RawSequenceTrainer, RawTrainingConfig
@@ -469,20 +469,49 @@ def run_raw_pipeline(args) -> dict:
     for sub in ("results", "data", "logs"):
         os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
 
+    layout = getattr(args, "raw_dataset", "iemocap")
+    # Layout registry: (fixture generator taking (root, n_train, n_val,
+    # n_test), loader). All three reference corpus layouts flow through the
+    # same RawSequenceDEERModel (multi_dataset_framework.py:214-358 parses
+    # them but fills non-audio channels with np.random placeholders).
+    layouts = {
+        "iemocap": (rc.generate_raw_fixture, rc.load_raw_corpus),
+        "ravdess": (
+            lambda root, n_train, n_val, n_test, seed: (
+                rc.generate_raw_fixture_ravdess(
+                    # 24 actors, 18/3/3 train/val/test by actor.
+                    root, n_per_actor=max(1, round(n_train / 18)), seed=seed
+                )
+            ),
+            rc.load_raw_ravdess,
+        ),
+        "meld": (
+            lambda root, n_train, n_val, n_test, seed: (
+                rc.generate_raw_fixture_meld(
+                    root, n_train=n_train, n_val=n_val, n_test=n_test,
+                    seed=seed,
+                )
+            ),
+            rc.load_raw_meld,
+        ),
+    }
+    generate_fixture, load_corpus = layouts[layout]
+
     raw_root = config["datasets"].get("raw_root")
     if not (raw_root and os.path.isdir(raw_root)):
-        raw_root = os.path.join(exp_dir, "data", "raw_fixture")
+        raw_root = os.path.join(exp_dir, "data", f"raw_fixture_{layout}")
         logger.warning(
             "no datasets.raw_root configured — generating a raw-media "
-            f"fixture corpus under {raw_root} (real-format wavs + frame "
-            "arrays + transcripts with learnable labels)"
+            f"fixture corpus in the {layout} layout under {raw_root} "
+            "(real-format wavs + frame arrays + transcripts with learnable "
+            "labels)"
         )
         # Non-quick sizes chosen from the scaling probe: 192 utterances left
         # valence underlearned (CCC 0.17); 768 reaches ~0.98 on all dims.
         n = (96, 24, 24) if args.quick else (768, 96, 96)
-        generate_raw_fixture(raw_root, *n, seed=42)
+        generate_fixture(raw_root, *n, seed=42)
 
-    splits, vocab = load_raw_corpus(raw_root)
+    splits, vocab = load_corpus(raw_root)
     logger.info(
         f"raw corpus: {', '.join(f'{k}={len(v['labels'])}' for k, v in splits.items())}"
         f" | vocab {vocab.vocab_size}"
@@ -532,6 +561,7 @@ def run_raw_pipeline(args) -> dict:
     )
     summary = {
         "experiment_dir": exp_dir,
+        "raw_layout": layout,
         "raw_root": raw_root,
         "vocab_size": vocab.vocab_size,
         "best_val_ccc": results["best_val_ccc"],
@@ -629,6 +659,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "with the Pallas audio front-end in-graph "
                         "(datasets.raw_root in the config, or a generated "
                         "fixture)")
+    p.add_argument("--raw_dataset", choices=["iemocap", "ravdess", "meld"],
+                   default="iemocap",
+                   help="corpus layout for --raw: IEMOCAP session dirs, "
+                        "RAVDESS filename-coded Actor_XX wavs, or MELD "
+                        "CSV + media dirs (reference multi_dataset_"
+                        "framework.py:214-358 — all three flow through the "
+                        "same raw-sequence model here)")
     p.add_argument("--ensemble", type=int, default=None, metavar="K",
                    help="train a K-member deep ensemble (all members in one "
                         "vmapped XLA program; predictions moment-matched, "
