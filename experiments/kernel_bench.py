@@ -166,6 +166,56 @@ def main() -> int:
         print(f"mfcc[{name}] {N} frames: {t*1e3:.2f}ms "
               f"({flops/t/1e12:.1f} TF/s, {t*1e6/N:.2f}us/frame)", flush=True)
 
+    # ---- 3. front-end FROM RAW SIGNAL: fused framing paths ---------------
+    # The r2 verdict's real finding was that the frames-input kernel has
+    # nothing left to win: XLA already fuses window->DFT->mel->DCT into
+    # matmul chains. The HBM cost XLA *can't* avoid is upstream — the
+    # gather that materializes overlapping frames (4x the signal) before
+    # any math. mfcc_from_signal starts from the raw signal instead:
+    #   pallas — manual-DMA kernel rebuilds frames in VMEM (framing never
+    #            touches HBM), then the full chain to MFCC+timefeats;
+    #   conv   — framing+window+DFT as one strided convolution (XLA/MXU);
+    #   frames — the legacy gather + mfcc_frames baseline.
+    from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+    B = 4 if args.quick else 64
+    T = 16384 if args.quick else 65536  # ~1 s / ~4 s at 16 kHz
+    n_frames_sig = T // acfg.hop_length + 1
+    sig_variants = [("frames", "frames", None), ("conv", "conv", None)]
+    if platform != "cpu":
+        sig_variants = [
+            (f"pallas-b{b}", "pallas", b) for b in (128, 256, 512)
+        ] + sig_variants
+    sig_rows = []
+    for name, path, blk in sig_variants:
+        @jax.jit
+        def chain(key, path=path, blk=blk):
+            def body(c, k_):
+                sig = jax.random.normal(k_, (B, T), jnp.float32)
+                mfcc, logmel, power, tf = mfcc_from_signal(
+                    sig, acfg, path=path, block_frames=blk)
+                return c, mfcc.mean() + logmel.mean() + tf.mean()
+            _, outs = jax.lax.scan(body, (), jax.random.split(key, K))
+            return outs.sum()
+
+        t = _timed_chain(
+            lambda f=chain: np.asarray(f(jax.random.PRNGKey(3)))
+        ) / K
+        total_frames = B * n_frames_sig
+        flops = 2.0 * total_frames * (
+            2 * acfg.n_fft * (acfg.n_fft // 2 + 1)
+            + (acfg.n_fft // 2 + 1) * acfg.n_mels
+            + acfg.n_mels * acfg.n_mfcc
+        )
+        sig_rows.append({
+            "name": name, "ms": t * 1e3, "tflops": flops / t / 1e12,
+            "us_per_frame": t * 1e6 / total_frames,
+            "rt_factor": (B * T / 16000.0) / t,
+        })
+        print(f"signal[{name}] B{B}xT{T}: {t*1e3:.2f}ms "
+              f"({flops/t/1e12:.1f} TF/s, {t*1e6/total_frames:.3f}us/frame, "
+              f"{sig_rows[-1]['rt_factor']:.0f}x realtime)", flush=True)
+
     # ---- report ---------------------------------------------------------
     # Never clobber the committed full-run artifact with a smoke.
     out_name = "RESULTS_kernels_quick.md" if args.quick else "RESULTS_kernels.md"
@@ -197,6 +247,36 @@ def main() -> int:
             for r in mfcc_rows:
                 f.write(f"| {r['name']} | {r['ms']:.2f} | "
                         f"{r['us_per_frame']:.2f} | {r['tflops']:.1f} TF/s |\n")
+        if sig_rows:
+            f.write("\n## Front-end from RAW SIGNAL (framing + window + DFT "
+                    "+ mel + log + DCT + RMS/ZCR)\n\n")
+            f.write(f"B={B} signals x T={T} samples "
+                    f"({n_frames_sig} frames each). The gather-based "
+                    "baseline materializes overlapping frames (4x signal "
+                    "bytes) in HBM before any math; 'conv' folds framing+"
+                    "window+DFT into one strided MXU convolution; 'pallas' "
+                    "rebuilds frames in VMEM via manual DMA so framing "
+                    "never touches HBM.\n\n")
+            f.write("| path | ms / call | us / frame | attained | x realtime |\n"
+                    "|---|---|---|---|---|\n")
+            for r in sig_rows:
+                f.write(f"| {r['name']} | {r['ms']:.2f} | "
+                        f"{r['us_per_frame']:.3f} | {r['tflops']:.1f} TF/s | "
+                        f"{r['rt_factor']:.0f} |\n")
+            best_p = min((r for r in sig_rows if r["name"].startswith("pallas")),
+                         key=lambda r: r["ms"], default=None)
+            best_x = min((r for r in sig_rows
+                          if not r["name"].startswith("pallas")),
+                         key=lambda r: r["ms"], default=None)
+            if best_p and best_x:
+                f.write(
+                    f"\nFrom-signal verdict: fused Pallas "
+                    f"{best_x['ms']/best_p['ms']:.1f}x the best XLA "
+                    "alternative. The frames-input kernel (table above) ties "
+                    "XLA — both are matmul-chain bound once frames exist; "
+                    "the HBM cost lives in the framing gather, which is why "
+                    "the win moved upstream. mfcc_from_signal defaults to "
+                    "the Pallas path on TPU.\n")
         f.write("\nThe flash kernels exist for their O(T) memory scaling — "
                 "matching the XLA baseline's wall clock while never "
                 "materializing the quadratic score matrix is the win; "

@@ -283,3 +283,118 @@ class TestEnhancedFeatures:
         )
         v = f(sig)
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+class TestFusedFromSignal:
+    """mfcc_from_signal: all three paths (frames / conv / pallas) must agree,
+    and the batched entries must match per-utterance singles."""
+
+    def _mix(self, rng, n=12000):
+        sig = 0.4 * _tone(170.0, duration=n / 16000.0)[:n]
+        return (sig + 0.05 * rng.normal(size=n)).astype(np.float32)
+
+    def test_conv_matches_frames(self, rng):
+        from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+        sig = jnp.asarray(self._mix(rng))
+        m1, l1, p1, t1 = mfcc_from_signal(sig, CFG, path="frames")
+        m2, l2, p2, t2 = mfcc_from_signal(sig, CFG, path="conv")
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-3, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-4, atol=1e-5)
+
+    def test_pallas_interpret_matches_frames(self, rng):
+        from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+        sig = jnp.asarray(self._mix(rng))
+        m1, l1, p1, t1 = mfcc_from_signal(sig, CFG, path="frames")
+        m2, l2, p2, t2 = mfcc_from_signal(sig, CFG, path="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-3, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("block", [16, 64, 256])
+    def test_pallas_block_sizes_agree(self, rng, block):
+        from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+        sig = jnp.asarray(self._mix(rng, n=9000))
+        ref = mfcc_from_signal(sig, CFG, path="frames")
+        out = mfcc_from_signal(
+            sig, CFG, path="pallas", interpret=True, block_frames=block
+        )
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-3
+            )
+
+    def test_frames_path_timefeats_exact(self, rng):
+        """The frames path's timefeats must equal the historical
+        rms_energy/zero_crossing_rate values bit-for-bit."""
+        from tpu_deer.ops.audio_frontend import _bases, mfcc_from_signal
+
+        sig = jnp.asarray(self._mix(rng))
+        _, _, _, t = mfcc_from_signal(sig, CFG, path="frames")
+        frames = frame_signal(sig, CFG)
+        rms = rms_energy(frames * _bases(CFG)["window"])
+        zcr = zero_crossing_rate(frames)
+        np.testing.assert_array_equal(np.asarray(t[:, 0]), np.asarray(rms))
+        np.testing.assert_array_equal(np.asarray(t[:, 1]), np.asarray(zcr))
+
+    def test_batched_matches_single(self, rng):
+        from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+        sigs = np.stack([self._mix(rng), self._mix(rng)[::-1]])
+        batch = mfcc_from_signal(jnp.asarray(sigs), CFG, path="conv")
+        for i in range(2):
+            single = mfcc_from_signal(jnp.asarray(sigs[i]), CFG, path="conv")
+            for a, b in zip(batch, single):
+                np.testing.assert_allclose(
+                    np.asarray(a[i]), np.asarray(b), rtol=1e-5, atol=1e-5
+                )
+
+    def test_batched_frame_features_match_legacy(self, rng):
+        """audio_frame_features_batch(path='frames') == the historical
+        per-utterance audio_frame_features(use_pallas=False)."""
+        from tpu_deer.ops.audio_frontend import audio_frame_features_batch
+
+        sigs = np.stack([self._mix(rng), 0.7 * self._mix(rng)])
+        batch = audio_frame_features_batch(jnp.asarray(sigs), CFG, path="frames")
+        for i in range(2):
+            legacy = audio_frame_features(
+                jnp.asarray(sigs[i]), CFG, use_pallas=False
+            )
+            # rtol 1e-4: the vmapped batch and the single-utterance program
+            # are separate XLA executables whose fusion choices reassociate
+            # float32 sums differently (~1e-6 abs on log-power values).
+            np.testing.assert_allclose(
+                np.asarray(batch[i]), np.asarray(legacy), rtol=1e-4, atol=1e-5
+            )
+
+    def test_batched_utterance_features_match_legacy(self, rng):
+        from tpu_deer.ops.audio_frontend import extract_utterance_features_batch
+
+        sigs = np.stack([self._mix(rng), 0.5 * self._mix(rng)])
+        batch = extract_utterance_features_batch(
+            jnp.asarray(sigs), CFG, path="frames"
+        )
+        for i in range(2):
+            legacy = extract_utterance_features(
+                jnp.asarray(sigs[i]), CFG, use_pallas=False
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch[i]), np.asarray(legacy), rtol=1e-6, atol=1e-6
+            )
+
+    def test_odd_length_and_jit(self, rng):
+        """Non-hop-multiple lengths pad correctly and the conv path jits."""
+        from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+        sig = jnp.asarray(self._mix(rng, n=10007))
+        f = jax.jit(lambda s: mfcc_from_signal(s, CFG, path="conv"))
+        m, l, p, t = f(sig)
+        n_expected = frame_signal(sig, CFG).shape[0]
+        assert m.shape == (n_expected, CFG.n_mfcc)
+        assert t.shape == (n_expected, 2)
+        assert np.all(np.isfinite(np.asarray(m)))

@@ -10,12 +10,18 @@ compute. The whole front-end is a chain of matmuls against fixed DSP bases
                      --(·dct)-------> mfcc[N, n_mfcc]
     power            --(·idft_lags)-> autocorr[N, lags] -> F0 (argmax)
 
-Two interchangeable execution paths, verified equal in tests:
-  * `mfcc_frames(..., use_pallas=False)` — pure-jnp (XLA fuses it fine)
-  * `mfcc_frames(..., use_pallas=True)`  — one fused Pallas kernel: window,
-    both DFT matmuls, power, mel matmul, log, and DCT matmul never leave
-    VMEM between stages (a single HBM read of the frames, a single write of
-    mfcc+logmel+power-summaries).
+Execution paths, verified equivalent in tests:
+  * `mfcc_from_signal(..., path="pallas")` — THE fused kernel: each grid
+    step DMAs a block of hop-sized signal chunks HBM→VMEM, rebuilds the
+    overlapping frames with static slices (no gather, no 4x frame
+    materialization), then window/DFT/power/mel/log/DCT plus per-frame
+    RMS+ZCR without leaving VMEM.
+  * `mfcc_from_signal(..., path="conv")` — framing+window+DFT as ONE strided
+    convolution (MXU-native, vmappable, any backend).
+  * `mfcc_from_signal(..., path="frames")` / `mfcc_frames(...)` — the legacy
+    two-stage path (gather then matmuls); kept as the numerics baseline.
+  * `mfcc_frames(..., use_pallas=True)` — frames-input fused Pallas kernel
+    (window through DCT in VMEM) for callers that already hold frames.
 
 F0 uses normalized autocorrelation (Wiener-Khinchin via one more matmul)
 instead of librosa's pyin — a deliberate TPU-first substitution: pyin's
@@ -79,6 +85,11 @@ def _bases(cfg: AudioFrontendConfig):
         "window": f32(window),
         "cos": f32(cos),
         "sin": f32(sin),
+        # Window folded into the DFT bases ((x∘w)·C == x·(diag(w)C)): the
+        # fused-from-signal paths never materialize windowed frames.
+        "cos_w": f32(window[:, None] * cos),
+        "sin_w": f32(window[:, None] * sin),
+        "win_sq": f32(window * window)[:, None],  # [n_fft, 1] for in-kernel RMS
         "mel": f32(mel),
         "dct": f32(dct),
         "lags": f32(lags),
@@ -225,6 +236,259 @@ def mfcc_frames(
 
 
 # ---------------------------------------------------------------------------
+# Fused-from-signal paths: framing never hits HBM
+#
+# `frame_signal` + `mfcc_frames` is the legacy two-stage path: the gather
+# materializes frames [N, n_fft] in HBM — a 4x inflation of the signal
+# (n_fft/hop = 4 overlap) written AND re-read before any math happens. The
+# paths below start from the raw signal instead:
+#
+#   * "conv"   — the whole framing+window+DFT is ONE strided convolution
+#     (lax.conv_general_dilated, stride=hop, kernel=window-folded DFT bases):
+#     XLA reads the signal once and runs the conv on the MXU. RMS and ZCR
+#     become two more tiny strided convs. Vmappable, differentiable, runs on
+#     any backend.
+#   * "pallas" — one fused kernel: each grid step DMAs a (block+overlap)
+#     window of hop-sized signal chunks HBM→VMEM, rebuilds the overlapping
+#     frames with static slices (n_fft % hop == 0 makes frame f exactly
+#     chunks f..f+r-1 concatenated), then runs window/DFT/power/mel/log/DCT
+#     plus per-frame RMS+ZCR without leaving VMEM.
+#
+# Both return (mfcc, logmel, power, timefeats[..., 2]) where timefeats is
+# [RMS of the windowed frame, ZCR] — everything downstream consumers
+# (extract_*_features, audio_frame_features) ever used raw frames for.
+# ---------------------------------------------------------------------------
+def _pad_for_frames(signals: jax.Array, cfg: AudioFrontendConfig):
+    """[..., T] → (reflect-padded [..., Tp], n_frames) matching frame_signal."""
+    pad = cfg.n_fft // 2
+    x = jnp.pad(
+        signals,
+        [(0, 0)] * (signals.ndim - 1) + [(pad, pad)],
+        mode="reflect",
+    )
+    n_frames = 1 + (x.shape[-1] - cfg.n_fft) // cfg.hop_length
+    return x, n_frames
+
+
+def _timefeats_from_frames(frames: jax.Array, bases) -> jax.Array:
+    """frames [N, n_fft] → [N, 2] (windowed RMS, ZCR) — the frames-path twin
+    of the in-kernel/conv computations, kept for the legacy path."""
+    rms = rms_energy(frames * bases["window"])
+    return jnp.stack([rms, zero_crossing_rate(frames)], axis=-1)
+
+
+def _mfcc_signal_conv(x_pad: jax.Array, n_frames: int, bases,
+                      cfg: AudioFrontendConfig):
+    """x_pad [B, Tp] → fused products, all framing via strided convs."""
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    k = jnp.concatenate([bases["cos_w"], bases["sin_w"]], axis=1)
+    dn = ("NWC", "WIO", "NWC")
+    y = jax.lax.conv_general_dilated(
+        x_pad[:, :, None], jnp.asarray(k)[:, None, :],
+        window_strides=(hop,), padding="VALID", dimension_numbers=dn,
+    )  # [B, N, 2*n_bins]
+    re, im = y[..., : cfg.n_bins], y[..., cfg.n_bins :]
+    power = re * re + im * im
+    mfcc, logmel = _mfcc_from_power(power, bases)
+    # RMS of the windowed frame: conv(x², w²)/n_fft.
+    msq = jax.lax.conv_general_dilated(
+        (x_pad * x_pad)[:, :, None], jnp.asarray(bases["win_sq"])[:, :, None],
+        window_strides=(hop,), padding="VALID", dimension_numbers=dn,
+    )[..., 0] / n_fft
+    rms = jnp.sqrt(jnp.maximum(msq, 0.0))
+    # ZCR: per-sample sign-change indicator, then a ones-kernel strided conv.
+    changes = (
+        jnp.abs(jnp.diff(jnp.sign(x_pad), axis=-1)) > 0
+    ).astype(jnp.float32)
+    ones_k = jnp.ones((n_fft - 1, 1, 1), jnp.float32)
+    zcr = jax.lax.conv_general_dilated(
+        changes[:, :, None], ones_k,
+        window_strides=(hop,), padding="VALID", dimension_numbers=dn,
+    )[..., 0] / (n_fft - 1)
+    timefeats = jnp.stack([rms, zcr], axis=-1)
+    return mfcc, logmel, power, timefeats
+
+
+def _mfcc_signal_kernel(chunks_ref, cosw_ref, sinw_ref, mel_ref, dct_ref,
+                        winsq_ref, mfcc_ref, logmel_ref, power_ref, time_ref,
+                        scratch_ref, sem_ref, *, block_frames: int, ratio: int,
+                        n_fft: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    # Pull this block's signal window HBM→VMEM. The slice is
+    # block_frames + overlap_pad chunks where overlap_pad is ratio-1
+    # rounded UP to the sublane tile (8): tpu.memref_slice requires the
+    # sliced extent to be tile-aligned (measured Mosaic constraint —
+    # "Slice shape along dimension 1 must be aligned to tiling (8)").
+    # The kernel only reads the first block_frames+ratio-1 rows; the
+    # alignment rows are dead weight (<4% of the DMA).
+    dma = pltpu.make_async_copy(
+        chunks_ref.at[b, pl.ds(i * block_frames, scratch_ref.shape[0])],
+        scratch_ref,
+        sem_ref,
+    )
+    dma.start()
+    dma.wait()
+    # Frame f = chunks f..f+ratio-1 concatenated (n_fft = ratio*hop) — but
+    # frames are NEVER materialized: a concatenate of row-shifted slices is
+    # exactly the op Mosaic can't lower (mismatched sublane offsets), and
+    # the DFT/RMS matmuls factor over the chunks anyway:
+    #   frames · W == Σ_j chunks[j:j+bf] · W[j*hop:(j+1)*hop]
+    # Row-offset slice operands feed the MXU directly (probed: Mosaic
+    # relayouts them), and each [bf, hop] x [hop, n_bins] partial matmul
+    # tiles the MXU at least as well as the concatenated [bf, n_fft] one.
+    hop = n_fft // ratio
+    f32 = jnp.float32
+    parts = [scratch_ref[pl.ds(j, block_frames), :] for j in range(ratio)]
+    re = jnp.zeros((block_frames, cosw_ref.shape[1]), f32)
+    im = jnp.zeros((block_frames, sinw_ref.shape[1]), f32)
+    msq = jnp.zeros((block_frames, 1), f32)
+    for j, p in enumerate(parts):
+        sl = pl.ds(j * hop, hop)
+        re += jnp.dot(p, cosw_ref[sl, :], preferred_element_type=f32)
+        im += jnp.dot(p, sinw_ref[sl, :], preferred_element_type=f32)
+        msq += jnp.dot(p * p, winsq_ref[sl, :], preferred_element_type=f32)
+    power = re * re + im * im
+    power_ref[0] = power
+    mel_energy = jnp.dot(power, mel_ref[:], preferred_element_type=f32)
+    logmel = jnp.log(jnp.maximum(mel_energy, EPS))
+    logmel_ref[0] = logmel
+    mfcc_ref[0] = jnp.dot(logmel, dct_ref[:], preferred_element_type=f32)
+    rms = jnp.sqrt(jnp.maximum(msq[:, 0] / n_fft, 0.0))
+    # ZCR over the virtual frame = within-chunk sign changes summed across
+    # its ratio chunks + the ratio-1 chunk-boundary pairs (same n_fft-1
+    # adjacent pairs as the materialized frame).
+    signs = [jnp.sign(p) for p in parts]
+    changes = jnp.zeros((block_frames,), f32)
+    for j, s in enumerate(signs):
+        changes += (jnp.abs(s[:, 1:] - s[:, :-1]) > 0).astype(f32).sum(-1)
+        if j + 1 < ratio:
+            changes += (
+                jnp.abs(signs[j + 1][:, 0] - s[:, hop - 1]) > 0
+            ).astype(f32)
+    zcr = changes / (n_fft - 1)
+    time_ref[0] = jnp.stack([rms, zcr], axis=-1)
+
+
+def _mfcc_signal_pallas(x_pad: jax.Array, n_frames: int, bases,
+                        cfg: AudioFrontendConfig,
+                        block_frames: Optional[int] = None,
+                        interpret: bool = False):
+    """x_pad [B, Tp] → fused products via the manual-DMA Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    if n_fft % hop != 0:
+        raise ValueError(
+            f"fused pallas path needs n_fft % hop == 0, got {n_fft}/{hop}"
+        )
+    ratio = n_fft // hop
+    B = x_pad.shape[0]
+    bf = block_frames or _auto_block_frames(n_frames)
+    n_pad = ((n_frames + bf - 1) // bf) * bf
+    # Overlap rounded up to the 8-row sublane tile so every DMA slice
+    # extent (bf + ov_pad) is tile-aligned (Mosaic memref_slice rule).
+    ov_pad = -(-(ratio - 1) // 8) * 8
+    n_chunks = n_pad + ov_pad
+    need = n_chunks * hop
+    if x_pad.shape[-1] < need:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, need - x_pad.shape[-1])))
+    chunks = x_pad[:, :need].reshape(B, n_chunks, hop)
+
+    grid = (B, n_pad // bf)
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda b, i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    out_block = lambda width: pl.BlockSpec(
+        (1, bf, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _mfcc_signal_kernel, block_frames=bf, ratio=ratio, n_fft=n_fft
+    )
+    mfcc, logmel, power, timefeats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # chunks stay in HBM
+            full(bases["cos_w"]),
+            full(bases["sin_w"]),
+            full(bases["mel"]),
+            full(bases["dct"]),
+            full(bases["win_sq"]),
+        ],
+        out_specs=(
+            out_block(cfg.n_mfcc),
+            out_block(cfg.n_mels),
+            out_block(cfg.n_bins),
+            out_block(2),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_pad, cfg.n_mfcc), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_pad, cfg.n_mels), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_pad, cfg.n_bins), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_pad, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bf + ov_pad, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(chunks, bases["cos_w"], bases["sin_w"], bases["mel"], bases["dct"],
+      bases["win_sq"])
+    trim = lambda a: a[:, :n_frames]
+    return trim(mfcc), trim(logmel), trim(power), trim(timefeats)
+
+
+def mfcc_from_signal(
+    signals: jax.Array,
+    cfg: AudioFrontendConfig = AudioFrontendConfig(),
+    path: Optional[str] = None,
+    block_frames: Optional[int] = None,
+    interpret: bool = False,
+):
+    """signals [T] or [B, T] → (mfcc, logmel, power, timefeats), framing fused.
+
+    timefeats[..., 0] = RMS of the windowed frame, [..., 1] = ZCR — the two
+    quantities downstream feature extractors previously kept raw frames
+    alive for. path: "pallas" (fused manual-DMA kernel), "conv" (strided-conv
+    framing, vmappable), "frames" (legacy gather + mfcc_frames, exact
+    historical numerics); None = "pallas" on TPU, "conv" elsewhere.
+    """
+    if path is None:
+        path = "pallas" if jax.default_backend() == "tpu" else "conv"
+    bases = _bases(cfg)
+    squeeze = signals.ndim == 1
+    if squeeze:
+        signals = signals[None]
+    x_pad, n_frames = _pad_for_frames(signals, cfg)
+    if path == "pallas":
+        out = _mfcc_signal_pallas(
+            x_pad, n_frames, bases, cfg,
+            block_frames=block_frames, interpret=interpret,
+        )
+    elif path == "conv":
+        out = _mfcc_signal_conv(x_pad, n_frames, bases, cfg)
+    elif path == "frames":
+        def per_utt(x):
+            starts = jnp.arange(n_frames) * cfg.hop_length
+            idx = starts[:, None] + jnp.arange(cfg.n_fft)[None, :]
+            frames = jnp.take(x, idx, axis=-1)
+            mfcc, logmel, power = mfcc_frames(frames, cfg, use_pallas=False)
+            return mfcc, logmel, power, _timefeats_from_frames(frames, bases)
+
+        out = jax.vmap(per_utt)(x_pad)
+    else:
+        raise ValueError(f"unknown mfcc_from_signal path: {path!r}")
+    if squeeze:
+        out = tuple(a[0] for a in out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Derived features
 # ---------------------------------------------------------------------------
 def deltas(x: jax.Array, width: int = 9) -> jax.Array:
@@ -322,8 +586,23 @@ def extract_utterance_features(
     Normalized to zero mean / unit variance over the vector (reference
     `normalize: True` behavior).
     """
-    frames = frame_signal(signal, cfg)
-    mfcc, _, power = mfcc_frames(frames, cfg, use_pallas=use_pallas)
+    mfcc, _, power, timefeats = mfcc_from_signal(
+        signal, cfg, path=_signal_path(use_pallas)
+    )
+    return _utterance_vec(mfcc, power, timefeats, cfg)
+
+
+def _signal_path(use_pallas: Optional[bool]) -> Optional[str]:
+    """Map the legacy use_pallas flag onto a mfcc_from_signal path:
+    True → fused pallas kernel, False → legacy frames path (exact historical
+    numerics), None → backend default."""
+    if use_pallas is None:
+        return None
+    return "pallas" if use_pallas else "frames"
+
+
+def _utterance_vec(mfcc, power, timefeats, cfg: AudioFrontendConfig):
+    """Per-utterance assembly of the 84-d vector from fused products."""
     d1 = deltas(mfcc, cfg.delta_width)
     d2 = deltas(d1, cfg.delta_width)
 
@@ -333,8 +612,7 @@ def extract_utterance_features(
     f0_mean = (f0 * v).sum() / n_voiced
     f0_std = jnp.sqrt(jnp.maximum((v * (f0 - f0_mean) ** 2).sum() / n_voiced, 0.0))
 
-    rms = rms_energy(frames * _bases(cfg)["window"])
-    zcr = zero_crossing_rate(frames)
+    rms, zcr = timefeats[:, 0], timefeats[:, 1]
     centroid, _, _ = spectral_summaries(power, cfg)
 
     vec = jnp.concatenate(
@@ -418,8 +696,15 @@ def extract_enhanced_utterance_features(
       [74:84] spectral (10): centroid/rolloff/bandwidth {mean,std},
               spectral-contrast {mean,std}, chroma {mean,std}
     """
-    frames = frame_signal(signal, cfg)
-    mfcc, logmel, power = mfcc_frames(frames, cfg, use_pallas=use_pallas)
+    mfcc, logmel, power, timefeats = mfcc_from_signal(
+        signal, cfg, path=_signal_path(use_pallas)
+    )
+    return _enhanced_vec(mfcc, logmel, power, timefeats, cfg)
+
+
+def _enhanced_vec(mfcc, logmel, power, timefeats, cfg: AudioFrontendConfig):
+    """Per-utterance assembly of the enhanced 84-d vector from fused
+    products."""
     d1 = deltas(mfcc, cfg.delta_width)
     d2 = deltas(d1, cfg.delta_width)
     mfcc_block = jnp.concatenate(
@@ -432,10 +717,9 @@ def extract_enhanced_utterance_features(
     voiced_f = jnp.where(voiced, f0, jnp.nan)
     f0_p25 = jnp.nan_to_num(jnp.nanpercentile(voiced_f, 25))
     f0_p75 = jnp.nan_to_num(jnp.nanpercentile(voiced_f, 75))
-    rms = rms_energy(frames * _bases(cfg)["window"])
+    rms, zcr = timefeats[:, 0], timefeats[:, 1]
     all_mask = jnp.ones_like(rms, dtype=bool)
     r_mean, r_std, r_min, r_max = _masked_stats(rms, all_mask)
-    zcr = zero_crossing_rate(frames)
     centroid, rolloff, bandwidth = spectral_summaries(power, cfg)
     # Onset strength: positive flux of log-mel over time.
     flux = jnp.maximum(jnp.diff(logmel, axis=0), 0.0).sum(axis=-1)
@@ -504,13 +788,19 @@ def audio_frame_features(
     Per frame: 13 MFCC + 13 Δ + 13 ΔΔ + f0 + voiced + rms + zcr + centroid +
     rolloff + bandwidth + 38 log-mel (first 38 of 40) = 84.
     """
-    frames = frame_signal(signal, cfg)
-    mfcc, logmel, power = mfcc_frames(frames, cfg, use_pallas=use_pallas)
+    mfcc, logmel, power, timefeats = mfcc_from_signal(
+        signal, cfg, path=_signal_path(use_pallas)
+    )
+    return _frame_feature_matrix(mfcc, logmel, power, timefeats, cfg)
+
+
+def _frame_feature_matrix(mfcc, logmel, power, timefeats,
+                          cfg: AudioFrontendConfig) -> jax.Array:
+    """Per-utterance assembly of [N, 84] frame features from fused products."""
     d1 = deltas(mfcc, cfg.delta_width)
     d2 = deltas(d1, cfg.delta_width)
     f0, voiced = f0_autocorrelation(power, cfg)
-    rms = rms_energy(frames * _bases(cfg)["window"])
-    zcr = zero_crossing_rate(frames)
+    rms, zcr = timefeats[:, 0], timefeats[:, 1]
     centroid, rolloff, bandwidth = spectral_summaries(power, cfg)
     scalars = jnp.stack(
         [f0, voiced.astype(jnp.float32), rms, zcr, centroid, rolloff, bandwidth],
@@ -519,3 +809,32 @@ def audio_frame_features(
     feats = jnp.concatenate([mfcc, d1, d2, scalars, logmel[:, :38]], axis=-1)
     assert feats.shape[-1] == FEATURE_DIM, feats.shape
     return feats
+
+
+# ---------------------------------------------------------------------------
+# Natively-batched entry points (the hot paths: per-utterance vmap would
+# trace the fused Pallas kernel under a batching rule; these instead hand
+# the whole [B, T] batch to one kernel launch with grid (B, blocks)).
+# ---------------------------------------------------------------------------
+def audio_frame_features_batch(
+    signals: jax.Array,
+    cfg: AudioFrontendConfig = AudioFrontendConfig(),
+    path: Optional[str] = None,
+) -> jax.Array:
+    """signals [B, T] → [B, N, 84], one fused front-end launch for the batch."""
+    products = mfcc_from_signal(signals, cfg, path=path)
+    return jax.vmap(lambda m, l, p, t: _frame_feature_matrix(m, l, p, t, cfg))(
+        *products
+    )
+
+
+def extract_utterance_features_batch(
+    signals: jax.Array,
+    cfg: AudioFrontendConfig = AudioFrontendConfig(),
+    path: Optional[str] = None,
+) -> jax.Array:
+    """signals [B, T] → [B, 84], one fused front-end launch for the batch."""
+    mfcc, _, power, timefeats = mfcc_from_signal(signals, cfg, path=path)
+    return jax.vmap(lambda m, p, t: _utterance_vec(m, p, t, cfg))(
+        mfcc, power, timefeats
+    )
