@@ -1,0 +1,102 @@
+"""F0 fidelity bounds (VERDICT r3 task 6).
+
+Pins the deviation of `ops.audio_frontend.f0_autocorrelation` (the
+framework's TPU-first replacement for the reference's librosa.pyin,
+preprocessing.py:560-564) against exactly-known synthetic pitch contours,
+and its agreement with the pyin-style host reference implemented in
+experiments/f0_fidelity.py. The full battery (noise, vibrato, walks) lives
+in the experiment; these tests bound the headline cases so a regression in
+the DSP bases or the argmax path fails loudly.
+"""
+
+import numpy as np
+import pytest
+
+from experiments.f0_fidelity import (
+    frame_truth,
+    make_cases,
+    pyin,
+    score,
+    synth_voiced,
+)
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_deer.ops.audio_frontend import (
+        AudioFrontendConfig,
+        _bases,
+        _power_spectrum_xla,
+        f0_autocorrelation,
+        frame_signal,
+    )
+
+    cfg = AudioFrontendConfig()
+
+    @jax.jit
+    def autocorr_f0(signal):
+        frames = frame_signal(signal, cfg)
+        power = _power_spectrum_xla(frames, _bases(cfg))
+        return f0_autocorrelation(power, cfg)
+
+    return cfg, lambda sig: tuple(
+        np.asarray(a) for a in autocorr_f0(jnp.asarray(sig))
+    )
+
+
+def _run_case(frontend, name):
+    cfg, autocorr = frontend
+    case = make_cases(cfg.hop_length)[name]
+    f0, v = autocorr(case["signal"])
+    f0_t, v_t = frame_truth(case, cfg.hop_length, len(f0))
+    return score(f0, v, f0_t, v_t), case, f0, v
+
+
+@pytest.mark.parametrize("name", ["flat 110Hz", "flat 220Hz", "flat 440Hz"])
+def test_autocorr_flat_tones(frontend, name):
+    s, *_ = _run_case(frontend, name)
+    assert s["gpe"] <= 0.02, s
+    # Integer-lag quantization bounds the cents error (~21c worst at 440Hz).
+    assert s["mae_cents"] <= 35.0, s
+    assert s["vde"] <= 0.05, s
+
+
+def test_autocorr_sweep(frontend):
+    s, *_ = _run_case(frontend, "sweep 90-480Hz")
+    assert s["gpe"] <= 0.05, s
+    assert s["mae_cents"] <= 40.0, s
+
+
+def test_autocorr_voicing_detection(frontend):
+    s, *_ = _run_case(frontend, "voiced/unvoiced alt")
+    # Frame-centered windows straddle V/UV boundaries; allow edge frames.
+    assert s["vde"] <= 0.15, s
+    assert s["gpe"] <= 0.05, s
+
+
+def test_autocorr_agrees_with_pyin_reference(frontend):
+    cfg, autocorr = frontend
+    case = make_cases(cfg.hop_length)["flat 220Hz"]
+    f0_ac, v_ac = autocorr(case["signal"])
+    f0_py, v_py = pyin(
+        case["signal"], 16000, cfg.n_fft, cfg.hop_length,
+        cfg.f0_min, cfg.f0_max,
+    )
+    both = v_ac & v_py
+    assert both.mean() > 0.9
+    cents = 1200 * np.abs(np.log2(f0_ac[both] / f0_py[both]))
+    assert cents.mean() <= 40.0, cents.mean()
+
+
+def test_pyin_reference_is_itself_accurate():
+    """Sanity for the reference implementation: pyin must nail a clean tone
+    (otherwise the agreement bound above is meaningless)."""
+    f0 = np.full(16000, 220.0)
+    sig = synth_voiced(f0, seed=0)
+    est, voiced = pyin(sig)
+    assert voiced.mean() > 0.95
+    cents = 1200 * np.abs(np.log2(est[voiced] / 220.0))
+    assert cents.mean() <= 25.0, cents.mean()
