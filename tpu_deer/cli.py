@@ -158,6 +158,10 @@ class MultimodalDEERPipeline:
 
         loaded = load_configured_datasets(self.config, quick=self.quick)
         if loaded:
+            # Which semantic backend produced each corpus' text features
+            # (bert | mlm | hashed) — recorded into the pipeline artifacts
+            # so a run's text path is auditable.
+            self.text_backends = loaded.pop("meta", {}).get("text_backend", {})
             self.datasets = loaded
             logger.info(f"loaded real datasets: {list(loaded['train'])}")
             return self.datasets
@@ -177,6 +181,7 @@ class MultimodalDEERPipeline:
                 text_dim=int(m["text_dim"]), seed=self.seed,
             )
         )
+        self.text_backends = {"synthetic": "precomputed-synthetic"}
         self.datasets = {
             split: {"synthetic": ArrayDataset(splits[split], "synthetic")}
             for split in ("train", "val", "test")
@@ -380,6 +385,10 @@ class MultimodalDEERPipeline:
             f"- epochs run: {train_results.get('epochs_run')}",
             f"- training time: {train_results.get('training_time_s', 0):.1f}s",
             f"- best val CCC: {train_results.get('best_val_ccc', float('nan')):.4f}",
+            "- text backend: "
+            + (", ".join(
+                f"{k}={v}" for k, v in getattr(self, "text_backends", {}).items()
+            ) or "unknown"),
             "",
             "## Test results",
             "",
@@ -430,6 +439,7 @@ class MultimodalDEERPipeline:
             "experiment_dir": self.experiment_dir,
             "best_val_ccc": train_results["best_val_ccc"],
             "test_results": eval_results,
+            "text_backend": getattr(self, "text_backends", {}),
             "plots": plots,
             "report": report,
             "total_time_s": time.time() - t0,

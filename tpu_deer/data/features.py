@@ -204,6 +204,19 @@ class TextFeatureExtractor:
                         "using hashed features"
                     )
 
+    @property
+    def backend(self) -> str:
+        """Which semantic backend is live: 'bert' | 'mlm' | 'hashed'.
+
+        Recorded by corpus loaders into their feature caches and surfaced in
+        pipeline artifacts so a run's text path is auditable (the reference
+        always silently assumed BERT; preprocessing.py:702-729)."""
+        if self.bert is not None:
+            return "bert"
+        if self.encoder is not None:
+            return "mlm"
+        return "hashed"
+
     @staticmethod
     def _hash_token(token: str) -> tuple[int, float]:
         digest = hashlib.md5(token.encode()).digest()

@@ -132,24 +132,38 @@ def load_iemocap(
     quick: bool = False,
     cache_dir: Optional[str] = None,
     extractor=None,
-    pretrain_text: bool = False,
+    pretrain_text: Optional[bool] = None,
 ) -> dict[str, ArrayDataset]:
     """Parse + featurize IEMOCAP → {"train"/"val"/"test": ArrayDataset}.
 
-    With pretrain_text=True and no semantic text backend configured (no
-    local BERT, no saved encoder dir), the text featurizer is MLM-pretrained
-    on the corpus' own TRAIN-split transcripts (train.text_pretrain) and
-    cached under the feature cache dir — the trained replacement for the
-    reference's BERT features (preprocessing.py:702-729) in a zero-egress
-    environment.
+    pretrain_text=None (the default) is AUTO: when the loader builds its own
+    extractor and no semantic text backend is configured (no local BERT via
+    $TPU_DEER_BERT_DIR, no saved encoder dir), the text featurizer is
+    MLM-pretrained on the corpus' own TRAIN-split transcripts
+    (train.text_pretrain) and cached under the feature cache dir — the
+    trained replacement for the reference's BERT features
+    (preprocessing.py:702-729) in a zero-egress environment. A caller-
+    provided `extractor` is an explicit backend choice and is used as-is
+    under AUTO. Pass pretrain_text=False to force the hashed fallback (e.g.
+    for ablation baselines), or True to pretrain even with a provided
+    extractor. The backend that actually produced the text features is
+    recorded in the returned dict under "text_backend".
     """
     from tpu_deer.data.features import MultimodalFeatureExtractor
     from tpu_deer.data.audio_io import load_wav
 
     root = Path(root_path)
     cdir = cache_dir_for(root_path, cache_dir)
+    caller_extractor = extractor is not None
+    extractor = extractor or MultimodalFeatureExtractor()
+    want_mlm = pretrain_text is True or (
+        pretrain_text is None
+        and not caller_extractor
+        and extractor.text.bert is None
+        and extractor.text.encoder is None
+    )
     key = f"iemocap_{'quick' if quick else 'full'}_v2"
-    if pretrain_text:
+    if want_mlm:
         key += "_mlmtext"
     cached = load_cached(cdir, key)
     if cached is not None:
@@ -167,17 +181,20 @@ def load_iemocap(
     n_val = max(1, int(0.2 * len(speakers_14)))
     val_speakers = set(speakers_14[-n_val:])
 
-    extractor = extractor or MultimodalFeatureExtractor()
-    if (
-        pretrain_text
-        and extractor.text.bert is None
-        and extractor.text.encoder is None
-    ):
+    if want_mlm and extractor.text.bert is None and extractor.text.encoder is None:
+        from tpu_deer.train.text_pretrain import corpus_text_featurizer
+
         train_texts = [
             s["text"] for s in samples
             if s["text"] and _assign_split(s, val_speakers) == "train"
         ]
-        extractor.text.encoder = _corpus_text_featurizer(train_texts, cdir)
+        if train_texts:
+            extractor.text.encoder = corpus_text_featurizer(train_texts, cdir)
+        else:
+            logger.warning(
+                "text bootstrap skipped: corpus has no train-split "
+                "transcripts — falling back to hashed text features"
+            )
 
     # Threaded decode: the native C++ wav reader releases the GIL, so a small
     # pool parallelizes the host-bound decode+resample across utterances.
@@ -222,42 +239,13 @@ def load_iemocap(
             ],
             dtype=np.int32,
         ),
+        "text_backend": np.array(extractor.text.backend),
     }
     save_cached(cdir, key, arrays)
     return _split_arrays(arrays)
 
 
-def _corpus_text_featurizer(train_texts: list[str], cache_dir: Path):
-    """MLM-pretrain (or load from cache) a text featurizer on corpus text."""
-    from tpu_deer.train.text_pretrain import (
-        TextEncoderFeaturizer,
-        TextPretrainConfig,
-        pretrain_text_encoder,
-    )
-
-    enc_dir = Path(cache_dir) / "text_encoder"
-    if (enc_dir / "encoder.msgpack").exists():
-        logger.info(f"text features: cached MLM encoder from {enc_dir}")
-        return TextEncoderFeaturizer.load(str(enc_dir))
-    if not train_texts:
-        raise ValueError("pretrain_text=True but the corpus has no train text")
-    # Scale the schedule to corpus size: tiny fixtures get more epochs.
-    epochs = int(np.clip(40000 // max(len(train_texts), 1), 5, 60))
-    logger.info(
-        f"text features: MLM-pretraining on {len(train_texts)} transcripts "
-        f"({epochs} epochs)…"
-    )
-    params, vocab, history = pretrain_text_encoder(
-        train_texts,
-        config=TextPretrainConfig(num_epochs=epochs),
-    )
-    logger.info(
-        f"MLM pretraining done: loss {history['mlm_loss'][0]:.3f} → "
-        f"{history['mlm_loss'][-1]:.3f}, acc {history['mlm_accuracy'][-1]:.3f}"
-    )
-    featurizer = TextEncoderFeaturizer(params, vocab)
-    featurizer.save(str(enc_dir))
-    return featurizer
+_META_KEYS = ("split_code", "text_backend")
 
 
 def _split_arrays(arrays: dict) -> dict[str, ArrayDataset]:
@@ -266,7 +254,8 @@ def _split_arrays(arrays: dict) -> dict[str, ArrayDataset]:
     for name, c in (("train", 0), ("val", 1), ("test", 2)):
         idx = np.where(code == c)[0]
         out[name] = ArrayDataset(
-            {k: v[idx] for k, v in arrays.items() if k != "split_code"},
+            {k: v[idx] for k, v in arrays.items() if k not in _META_KEYS},
             name="iemocap",
         )
+    out["text_backend"] = str(arrays.get("text_backend", "hashed"))
     return out

@@ -31,6 +31,12 @@ def create_enhanced_dataloaders(
     if dataset.lower() not in loaders:
         raise ValueError(f"unknown dataset {dataset!r}; expected {list(loaders)}")
     datasets = loaders[dataset.lower()](root_path, quick=quick, extractor=extractor)
+    # Loaders also return a "text_backend" provenance string — keep only the
+    # split datasets for the iterator map.
+    datasets = {
+        split: ds for split, ds in datasets.items()
+        if isinstance(ds, ArrayDataset)
+    }
     iterators = {
         split: BatchIterator(
             ds,

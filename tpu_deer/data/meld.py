@@ -57,22 +57,38 @@ def load_meld(
     quick: bool = False,
     cache_dir: Optional[str] = None,
     extractor=None,
+    pretrain_text: Optional[bool] = None,
 ) -> dict[str, ArrayDataset]:
+    """pretrain_text=None (default) is AUTO: when the loader builds its own
+    extractor and no semantic text backend is configured, MLM-pretrain the
+    text featurizer on the TRAIN CSV's utterances (MELD is text-first, so
+    this is the highest-leverage channel). Same contract as
+    iemocap.load_iemocap; the resolved backend is returned under
+    "text_backend"."""
     from tpu_deer.data.features import MultimodalFeatureExtractor
 
     root = Path(root_path)
     cdir = cache_dir_for(root_path, cache_dir)
+    caller_extractor = extractor is not None
+    extractor = extractor or MultimodalFeatureExtractor()
+    want_mlm = pretrain_text is True or (
+        pretrain_text is None
+        and not caller_extractor
+        and extractor.text.bert is None
+        and extractor.text.encoder is None
+    )
     key = f"meld_{'quick' if quick else 'full'}_v2"
+    if want_mlm:
+        key += "_mlmtext"
     cached = load_cached(cdir, key)
     if cached is not None:
         return _unpack(cached)
 
-    extractor = extractor or MultimodalFeatureExtractor()
-    out_arrays: dict[str, np.ndarray] = {}
     any_found = False
     packed: dict[str, np.ndarray] = {}
 
-    for split, (csv_name, clip_dir) in SPLIT_FILES.items():
+    split_rows: dict[str, list[dict]] = {}
+    for split, (csv_name, _) in SPLIT_FILES.items():
         csv_path = root / csv_name
         if not csv_path.exists():
             continue
@@ -83,7 +99,28 @@ def load_meld(
         ]
         if quick:
             rows = rows[:100]
+        split_rows[split] = rows
 
+    if not any_found:
+        raise FileNotFoundError(f"no MELD CSVs under {root_path}")
+
+    if want_mlm and extractor.text.bert is None and extractor.text.encoder is None:
+        train_texts = [
+            r.get("Utterance", "") for r in split_rows.get("train", [])
+            if r.get("Utterance", "")
+        ]
+        if train_texts:
+            from tpu_deer.train.text_pretrain import corpus_text_featurizer
+
+            extractor.text.encoder = corpus_text_featurizer(train_texts, cdir)
+        else:
+            logger.warning(
+                "text bootstrap skipped: MELD train CSV has no utterances — "
+                "falling back to hashed text features"
+            )
+
+    for split, rows in split_rows.items():
+        clip_dir = SPLIT_FILES[split][1]
         texts = [r.get("Utterance", "") for r in rows]
         text_feats = extractor.text.extract_batch(texts) if rows else np.zeros(
             (0, 768), np.float32
@@ -124,9 +161,7 @@ def load_meld(
         packed[f"{split}_token_mask"] = token_mask.astype(np.int32)
         packed[f"{split}_labels"] = labels
 
-    if not any_found:
-        raise FileNotFoundError(f"no MELD CSVs under {root_path}")
-
+    packed["text_backend"] = np.array(extractor.text.backend)
     save_cached(cdir, key, packed)
     return _unpack(packed)
 
@@ -145,4 +180,5 @@ def _unpack(packed: dict) -> dict[str, ArrayDataset]:
                 arrays["token_ids"] = packed[f"{split}_token_ids"]
                 arrays["token_mask"] = packed[f"{split}_token_mask"]
             out[split] = ArrayDataset(arrays, name="meld")
+    out["text_backend"] = str(packed.get("text_backend", "hashed"))
     return out

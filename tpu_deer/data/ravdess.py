@@ -146,9 +146,16 @@ def load_ravdess(
             ],
             dtype=np.int32,
         ),
+        # No MLM bootstrap here: the corpus has exactly two fixed statements
+        # (no lexical variation to learn from), so the resolved extractor
+        # backend is recorded as-is.
+        "text_backend": np.array(extractor.text.backend),
     }
     save_cached(cdir, key, arrays)
     return _split_arrays(arrays)
+
+
+_META_KEYS = ("split_code", "text_backend")
 
 
 def _split_arrays(arrays: dict) -> dict[str, ArrayDataset]:
@@ -157,7 +164,8 @@ def _split_arrays(arrays: dict) -> dict[str, ArrayDataset]:
     for name, c in (("train", 0), ("val", 1), ("test", 2)):
         idx = np.where(code == c)[0]
         out[name] = ArrayDataset(
-            {k: v[idx] for k, v in arrays.items() if k != "split_code"},
+            {k: v[idx] for k, v in arrays.items() if k not in _META_KEYS},
             name="ravdess",
         )
+    out["text_backend"] = str(arrays.get("text_backend", "hashed"))
     return out

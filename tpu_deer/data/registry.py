@@ -34,11 +34,16 @@ def load_configured_datasets(config: dict, quick: bool = False) -> Optional[dict
 
     names = config.get("datasets", {}).get("names", [])
     paths = config.get("datasets", {}).get("paths", {})
-    # datasets.pretrain_text: MLM-pretrain the text featurizer on corpus
-    # transcripts when no BERT/saved encoder is available (IEMOCAP only —
-    # it is the corpus with real transcripts).
-    pretrain_text = bool(config.get("datasets", {}).get("pretrain_text", False))
+    # datasets.pretrain_text: None/absent = AUTO — when corpus transcripts
+    # exist and no semantic text backend is configured (no $TPU_DEER_BERT_DIR,
+    # no saved encoder dir), MLM-pretrain the text featurizer on the corpus'
+    # own train-split text instead of silently hashing. Explicit false forces
+    # the hashed fallback; explicit true forces pretraining.
+    pretrain_text = config.get("datasets", {}).get("pretrain_text", None)
+    if pretrain_text is not None:
+        pretrain_text = bool(pretrain_text)
     out = {"train": {}, "val": {}, "test": {}}
+    text_backends: dict[str, str] = {}
     found = False
     for name in names:
         path = paths.get(name)
@@ -50,8 +55,8 @@ def load_configured_datasets(config: dict, quick: bool = False) -> Optional[dict
             continue
         try:
             kwargs = {"quick": quick}
-            if name.upper() == "IEMOCAP" and pretrain_text:
-                kwargs["pretrain_text"] = True
+            if name.upper() in ("IEMOCAP", "MELD"):
+                kwargs["pretrain_text"] = pretrain_text
             splits = loader(path, **kwargs)
         except Exception as e:
             logger.warning(f"failed to load {name} from {path}: {e}")
@@ -59,5 +64,10 @@ def load_configured_datasets(config: dict, quick: bool = False) -> Optional[dict
         for split in ("train", "val", "test"):
             if split in splits and len(splits[split]) > 0:
                 out[split][name.lower()] = splits[split]
+        text_backends[name.lower()] = str(splits.get("text_backend", "hashed"))
         found = True
-    return out if found else None
+    if not found:
+        return None
+    out["meta"] = {"text_backend": text_backends}
+    logger.info(f"text feature backends: {text_backends}")
+    return out

@@ -72,6 +72,9 @@ class MultiDatasetFramework:
         self.mesh = mesh
         self.seed = seed
         self.joint_trainer: Optional[DEERTrainer] = None
+        # Per-dataset provenance surfaced into the report (e.g. which text
+        # backend featurized each corpus — registry meta).
+        self.meta: dict = {}
 
     # -- joint training ----------------------------------------------------
     def _make_trainer(self, train_sets: Mapping[str, ArrayDataset]) -> DEERTrainer:
@@ -180,6 +183,8 @@ class MultiDatasetFramework:
             n: {split: len(ds) for split, ds in d.items()}
             for n, d in self.datasets.items()
         }
+        if self.meta:
+            payload["meta"] = self.meta
         if results.transfer:
             effs = [
                 v["transfer_effectiveness"] for v in results.transfer.values()
@@ -221,6 +226,7 @@ def main(argv=None) -> int:
     config = load_yaml_config(args.config)
 
     loaded = load_configured_datasets(config, quick=args.quick)
+    meta = loaded.pop("meta", {}) if loaded else {}
     if loaded:
         datasets = {
             name: {
@@ -275,6 +281,7 @@ def main(argv=None) -> int:
     )
 
     fw = MultiDatasetFramework(model_cfg, train_cfg, datasets)
+    fw.meta = meta or {"text_backend": {n: "precomputed-synthetic" for n in datasets}}
     results = fw.run_full_experiment(
         num_epochs=train_cfg.num_epochs,
         transfer_epochs=args.transfer_epochs or train_cfg.num_epochs,

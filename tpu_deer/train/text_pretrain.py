@@ -179,6 +179,46 @@ def pretrain_text_encoder(
     return params, vocab, history
 
 
+def corpus_text_featurizer(train_texts: Sequence[str], cache_dir) -> "TextEncoderFeaturizer":
+    """MLM-pretrain (or load from `cache_dir/text_encoder`) a text featurizer
+    on a corpus' own TRAIN-split transcripts — the automatic bootstrap the
+    loaders run when no semantic text backend is configured (no local BERT,
+    no saved encoder dir), instead of silently falling back to hashing.
+
+    The epoch budget scales inversely with corpus size so tiny fixtures still
+    converge while real corpora stay affordable. The trained featurizer is
+    cached next to the feature cache, so the cost is paid once per corpus.
+    """
+    enc_dir = os.path.join(str(cache_dir), "text_encoder")
+    if os.path.exists(os.path.join(enc_dir, "encoder.msgpack")):
+        import logging
+
+        logging.getLogger(__name__).info(
+            f"text features: cached MLM encoder from {enc_dir}"
+        )
+        return TextEncoderFeaturizer.load(enc_dir)
+    if not train_texts:
+        raise ValueError("text bootstrap requested but the corpus has no train text")
+    import logging
+
+    log = logging.getLogger(__name__)
+    epochs = int(np.clip(40000 // max(len(train_texts), 1), 5, 60))
+    log.info(
+        f"text features: MLM-pretraining on {len(train_texts)} transcripts "
+        f"({epochs} epochs)…"
+    )
+    params, vocab, history = pretrain_text_encoder(
+        list(train_texts), config=TextPretrainConfig(num_epochs=epochs)
+    )
+    log.info(
+        f"MLM pretraining done: loss {history['mlm_loss'][0]:.3f} → "
+        f"{history['mlm_loss'][-1]:.3f}, acc {history['mlm_accuracy'][-1]:.3f}"
+    )
+    featurizer = TextEncoderFeaturizer(params, vocab)
+    featurizer.save(enc_dir)
+    return featurizer
+
+
 class TextEncoderFeaturizer:
     """Drop-in text featurizer backed by a pretrained TextSequenceEncoder.
 
