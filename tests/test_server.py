@@ -115,6 +115,34 @@ class TestServer:
             assert e.value.code == 400
             assert msg in json.loads(e.value.read())["error"]
 
+    def test_burst_connects_all_succeed(self, running_server):
+        """32 clients connecting in the same instant must all be served:
+        socketserver's default listen backlog (5) reset connections under
+        burst connects (measured in experiments/server_load.py at 16
+        clients); server._Server sizes it at 128."""
+        url, _ = running_server
+        row = [0.0] * 16
+        payload = {"audio": row, "video": row, "text": row}
+        n = 32
+        barrier = threading.Barrier(n)
+        errors, oks = [], []
+
+        def worker():
+            try:
+                barrier.wait()
+                out = _post(url, payload)
+                oks.append(out)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors[:3]
+        assert len(oks) == n
+
     def test_unknown_path_404(self, running_server):
         url, _ = running_server
         with pytest.raises(urllib.error.HTTPError) as e:

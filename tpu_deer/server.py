@@ -724,8 +724,17 @@ def make_handler(service: PredictionService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # The socketserver default backlog (5) drops/resets connections when
+    # tens of clients connect in the same instant — measured in
+    # experiments/server_load.py at 16 concurrent clients. 128 matches the
+    # load the micro-batcher is sized for (max_batch 256 single-row
+    # requests in flight).
+    request_queue_size = 128
+
+
 def serve(service: PredictionService, host: str = "127.0.0.1", port: int = 8571):
-    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server = _Server((host, port), make_handler(service))
     logger.info("serving on http://%s:%d (POST /predict, GET /healthz)",
                 host, port)
     return server
