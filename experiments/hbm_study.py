@@ -1,0 +1,371 @@
+"""HBM roofline validation for the flagship-width train step (VERDICT r3 #3).
+
+Round-2/3 claimed the width-1 (3,918,324-param) train step is HBM-bound:
+XLA cost analysis gave intensity 41.5 FLOP/B (ridge ~240) and the step ran
+at 185% of the naive per-op traffic bound, so 32-37% MFU was argued to be
+"near the roofline". That argument rests on XLA's 'bytes accessed', which
+over-counts true HBM traffic (fusion keeps intermediates on-chip), and was
+never validated against anything measured. This study replaces it with
+three MEASURED ceilings on the same chip (forced-host-fetch timing, per
+CLAUDE.md — `block_until_ready` lies through the tunnel):
+
+  1. Achievable HBM bandwidth: chained saxpy over a large f32 buffer with
+     exactly-known traffic (1 read + 1 write per element per iteration).
+     The empirical ceiling, not the datasheet number.
+  2. Matmul-shape ceiling: a dense chain with the flagship model's layer
+     widths (256/512) at the bench batch size — what the MXU can actually
+     attain for THESE shapes, with none of the DEER machinery (NIG heads,
+     loss, dropout PRNG, optimizer) attached. Run at both f32 and bf16
+     compute.
+  3. The real train step, f32 vs bf16 parameter storage
+     (TrainingConfig.storage_dtype): if params/grads/Adam-moment traffic
+     were a first-order cost, halving it would move the step time.
+
+Analytic traffic floor for the step (for the memory-bound hypothesis):
+   inputs  : B·(84+256+768)·4 B            (batch features, f32 staged)
+   params  : 4 passes (fwd read, bwd read, update read+write) · P·dtype
+   moments : 2 moments · read+write · P·dtype
+   grads   : write + read · P·dtype
+   activations: ~2·(stored activation bytes) — bounded below by the dense
+     layer outputs the backward must re-read.
+If step_time >> floor/measured_BW the step is NOT memory-bound and the
+binding constraint is the shape ceiling (2) or serial overheads.
+
+Writes experiments/RESULTS_hbm.md. Run: python experiments/hbm_study.py
+(TPU, ~10 min; --quick for a CPU structural smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def _timed_fetch(fn, *args, iters=3):
+    """Median wall time of fn(*args) with a forcing host fetch."""
+    out = fn(*args)
+    np.asarray(jax_tree_first(out))  # compile + warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax_tree_first(out))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def jax_tree_first(out):
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    return leaves[0]
+
+
+def measure_hbm_bandwidth(n_floats: int, k_iters: int) -> dict:
+    """Chained y = y*a + b over an [n] f32 buffer: exactly 8 bytes/elem/iter
+    (1 read + 1 write); the scan dependency chain prevents elision. Returns
+    measured GB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((n_floats,), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        def body(y, _):
+            return y * 1.0000001 + 1e-7, ()
+
+        y, _ = jax.lax.scan(body, x, None, length=k_iters)
+        return y[0]
+
+    secs = _timed_fetch(chain, x)
+    traffic = 8.0 * n_floats * k_iters
+    return {"gbps": traffic / secs / 1e9, "secs": secs,
+            "buffer_mb": 4.0 * n_floats / 1e6, "iters": k_iters}
+
+
+def measure_matmul_ceiling(batch: int, dtype_name: str, k_iters: int) -> dict:
+    """Dense chain at the flagship layer widths: input [B, 1108] → 256,
+    then 6× (256→256), widen 256→512, 2× (512→512), head 512→12 — roughly
+    the flagship forward's matmul skeleton. Chained k_iters times in a scan
+    (fresh activations each iter, same weights). Reports achieved FLOP/s
+    and MFU vs the chip peak for the dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_deer.utils.profiling import peak_flops_per_chip
+
+    dt = jnp.dtype(dtype_name)
+    rng = np.random.default_rng(0)
+    dims = [1108, 256] + [256] * 6 + [512, 512, 512, 12]
+    ws = [
+        jnp.asarray(
+            rng.standard_normal((dims[i], dims[i + 1])) * 0.05, dt
+        )
+        for i in range(len(dims) - 1)
+    ]
+    x0 = jnp.asarray(rng.standard_normal((batch, dims[0])), dt)
+    flops_per_iter = sum(
+        2.0 * batch * dims[i] * dims[i + 1] for i in range(len(dims) - 1)
+    )
+
+    @jax.jit
+    def chain(x0, ws):
+        def body(carry, _):
+            h = x0 + carry  # fresh dependency each iteration
+            for w in ws:
+                h = jnp.tanh(h @ w) if w.shape[1] != 12 else h @ w
+                if h.shape[1] != x0.shape[1]:
+                    pass
+            return carry + h.sum() * 1e-12, h[0, 0]
+
+        c, outs = jax.lax.scan(body, jnp.zeros((), dt), None, length=k_iters)
+        return outs[-1]
+
+    # NB: the inner loop reshapes dims as it goes; carry is a scalar so the
+    # scan only chains a negligible dependency — weights stay resident.
+    secs = _timed_fetch(chain, x0, ws)
+    achieved = flops_per_iter * k_iters / secs
+    peak = peak_flops_per_chip()
+    # peak_flops_per_chip reports the bf16 MXU peak; f32 runs at half.
+    eff_peak = peak if peak is None else (peak if dt == jnp.bfloat16 else peak / 2)
+    return {
+        "dtype": dtype_name,
+        "batch": batch,
+        "tflops": achieved / 1e12,
+        "mfu_pct": 100.0 * achieved / eff_peak if eff_peak else None,
+        "secs_per_iter": secs / k_iters,
+    }
+
+
+def measure_train_step(batch: int, storage_dtype: str, iters: int) -> dict:
+    """The real flagship train step via the trainer profile harness."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_deer.data.pipeline import ArrayDataset
+    from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+    from tpu_deer.models.deer_model import (
+        DEERModelConfig,
+        count_parameters,
+        create_complete_deer_model,
+    )
+    from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+    from tpu_deer.utils.profiling import (
+        cost_analysis_summary,
+        peak_flops_per_chip,
+        profile_training_speed,
+    )
+
+    platform = jax.devices()[0].platform
+    config = DEERModelConfig(
+        compute_dtype="bfloat16" if platform != "cpu" else "float32"
+    )
+    model, params = create_complete_deer_model(config, seed=0)
+    splits = make_synthetic_splits(
+        SyntheticConfig(n_train=batch * 2, n_val=8, n_test=8)
+    )
+    trainer = DEERTrainer(
+        model, params,
+        TrainingConfig(batch_size=batch, num_epochs=1,
+                       storage_dtype=storage_dtype),
+        steps_per_epoch=4,
+    )
+    stats = profile_training_speed(
+        trainer, ArrayDataset(splits["train"], "hbm"), iters=iters,
+        sync_per_step=False,
+    )
+    batch_arrays = trainer._put(
+        {k: v[:batch] for k, v in splits["train"].items()
+         if k in ("audio", "video", "text", "labels")}
+    )
+    cost = cost_analysis_summary(
+        trainer._train_step_impl, trainer.state, batch_arrays,
+        jnp.asarray(1.0), jnp.asarray(1.0),
+    )
+    peak = peak_flops_per_chip()
+    step_s = stats["step_ms_mean"] / 1e3
+    n_params = count_parameters(params)
+    return {
+        "storage_dtype": storage_dtype,
+        "batch": batch,
+        "params": n_params,
+        "step_ms": stats["step_ms_mean"],
+        "samples_per_sec": stats["samples_per_sec"],
+        "mfu_pct": (
+            100.0 * cost["flops"] / (step_s * peak) if cost and peak else None
+        ),
+        "flops": cost["flops"] if cost else None,
+        "xla_bytes": cost["bytes"] if cost else None,
+    }
+
+
+def analytic_traffic_floor(batch: int, n_params: int, storage_bytes: int,
+                           act_bytes_per_sample: float) -> float:
+    """Lower bound on bytes/step for the memory-bound hypothesis."""
+    inputs = batch * (84 + 256 + 768) * 4
+    params = 4 * n_params * storage_bytes  # fwd read, bwd read, update r+w
+    moments = 2 * 2 * n_params * storage_bytes  # two moments, read+write
+    grads = 2 * n_params * storage_bytes  # write + read
+    acts = 2 * batch * act_bytes_per_sample  # write fwd, read bwd
+    return float(inputs + params + moments + grads + acts)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--iters", type=int, default=60)
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    quick = args.quick or platform == "cpu"
+    if quick:
+        bw_n, bw_k = 1 << 20, 8
+        batch, mm_k, iters = 256, 4, 3
+    else:
+        bw_n, bw_k = 1 << 28, 32  # 1 GiB buffer, 32 chained passes
+        batch, mm_k, iters = 16384, 64, args.iters
+
+    print("1) HBM bandwidth microbench…", file=sys.stderr)
+    bw = measure_hbm_bandwidth(bw_n, bw_k)
+    print(f"   measured {bw['gbps']:.0f} GB/s "
+          f"({bw['buffer_mb']:.0f} MB buffer)", file=sys.stderr)
+
+    print("2) matmul-shape ceiling (flagship widths)…", file=sys.stderr)
+    mm = [measure_matmul_ceiling(batch, d, mm_k)
+          for d in (("bfloat16", "float32") if platform != "cpu"
+                    else ("float32",))]
+    for m in mm:
+        fmt = f"{m['mfu_pct']:.1f}%" if m["mfu_pct"] is not None else "n/a"
+        print(f"   {m['dtype']}: {m['tflops']:.1f} TF/s ({fmt} of dtype peak)",
+              file=sys.stderr)
+
+    print("3) train step, f32 vs bf16 storage…", file=sys.stderr)
+    steps = [measure_train_step(batch, sd, iters)
+             for sd in ("float32", "bfloat16")]
+    for s in steps:
+        fmt = f"{s['mfu_pct']:.1f}%" if s["mfu_pct"] is not None else "n/a"
+        print(f"   storage={s['storage_dtype']}: step {s['step_ms']:.2f} ms, "
+              f"{s['samples_per_sec']:,.0f} samples/s, MFU {fmt}",
+              file=sys.stderr)
+
+    # Verdict arithmetic.
+    n_params = steps[0]["params"]
+    # Stored activations ≈ dense outputs along the flagship stack: ~12
+    # tensors averaging ~350 wide at bf16 on TPU.
+    act_bytes = 12 * 350 * (2 if platform != "cpu" else 4)
+    floors = {
+        s["storage_dtype"]: analytic_traffic_floor(
+            batch, n_params,
+            2 if s["storage_dtype"] == "bfloat16" else 4, act_bytes,
+        )
+        for s in steps
+    }
+    payload = {
+        "platform": platform,
+        "quick": quick,
+        "hbm_bandwidth": bw,
+        "matmul_ceiling": mm,
+        "train_steps": steps,
+        "analytic_floor_bytes": floors,
+    }
+
+    out_md = Path(HERE) / ("RESULTS_hbm_quick.md" if quick else "RESULTS_hbm.md")
+    lines = [
+        "# HBM roofline validation — flagship-width train step",
+        "",
+        f"Platform: **{platform}**, batch {batch}, forced-host-fetch timing "
+        "(CLAUDE.md discipline). Generated by `experiments/hbm_study.py` "
+        "(VERDICT r3 task 3: validate or break the width-1 HBM-bound claim).",
+        "",
+        f"## 1. Measured achievable HBM bandwidth: **{bw['gbps']:.0f} GB/s**",
+        "",
+        f"Chained saxpy, {bw['buffer_mb']:.0f} MB f32 buffer, "
+        f"{bw['iters']} dependent passes (8 B/elem/pass exactly).",
+        "",
+        "## 2. Matmul-shape ceiling (the flagship's own layer widths)",
+        "",
+        "| compute dtype | TF/s | % of dtype peak |",
+        "|---|---|---|",
+    ]
+    for m in mm:
+        fmt = f"{m['mfu_pct']:.1f}%" if m["mfu_pct"] is not None else "n/a"
+        lines.append(f"| {m['dtype']} | {m['tflops']:.1f} | {fmt} |")
+    lines += [
+        "",
+        "## 3. Train step: f32 vs bf16 parameter storage",
+        "",
+        "| storage | step ms | samples/s | MFU | analytic traffic floor | floor/BW time |",
+        "|---|---|---|---|---|---|",
+    ]
+    for s in steps:
+        fl = floors[s["storage_dtype"]]
+        fmt = f"{s['mfu_pct']:.1f}%" if s["mfu_pct"] is not None else "n/a"
+        lines.append(
+            f"| {s['storage_dtype']} | {s['step_ms']:.2f} | "
+            f"{s['samples_per_sec']:,.0f} | {fmt} | {fl/1e6:.0f} MB | "
+            f"{1e3 * fl / (bw['gbps'] * 1e9):.2f} ms |"
+        )
+    lines += ["", "## Verdict", ""]
+    mb_time_ms = 1e3 * floors["float32"] / (bw["gbps"] * 1e9)
+    step_ms = steps[0]["step_ms"]
+    shape_mfu = next((m["mfu_pct"] for m in mm if m["dtype"] == "bfloat16"),
+                     mm[0]["mfu_pct"])
+    step_mfu = steps[0]["mfu_pct"]
+    if step_ms > 3.0 * mb_time_ms:
+        lines.append(
+            f"- The measured step ({step_ms:.2f} ms) is ≫ the "
+            f"memory-bound floor ({mb_time_ms:.2f} ms at the measured "
+            f"{bw['gbps']:.0f} GB/s): the width-1 step is **NOT HBM-bound**. "
+            "The round-2/3 'HBM-bound' framing (built on XLA's over-counted "
+            "'bytes accessed') is hereby retired."
+        )
+    else:
+        lines.append(
+            f"- The measured step ({step_ms:.2f} ms) sits within ~3× of the "
+            f"memory-bound floor ({mb_time_ms:.2f} ms): HBM traffic is a "
+            "first-order constraint at this width."
+        )
+    if shape_mfu is not None and step_mfu is not None:
+        lines.append(
+            f"- The bare matmul chain at these layer widths attains "
+            f"{shape_mfu:.1f}% MFU; the full train step attains "
+            f"{step_mfu:.1f}%. The gap between them is the DEER machinery "
+            "(NIG heads + loss + dropout PRNG + optimizer + backward "
+            "bookkeeping); the gap from 100% is the shape ceiling — "
+            "width-256 contractions cannot fill a 128×128-tile MXU pipeline "
+            "regardless of framework."
+        )
+    d_ms = steps[0]["step_ms"] - steps[1]["step_ms"]
+    lines.append(
+        f"- bf16 storage moves the step by {d_ms:+.2f} ms "
+        f"({steps[0]['step_ms']:.2f} → {steps[1]['step_ms']:.2f}): "
+        "params/grads/moments are "
+        f"{'a real share of' if abs(d_ms) > 0.05 * step_ms else 'a negligible share of'} "
+        "the step's traffic at this batch size."
+    )
+    lines += [
+        "",
+        f"Raw JSON: `RESULTS_hbm{'_quick' if quick else ''}.json`.",
+        "",
+    ]
+    out_md.write_text("\n".join(lines))
+    with open(str(out_md)[: -len(".md")] + ".json", "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {out_md}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

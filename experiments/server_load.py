@@ -147,11 +147,26 @@ def run(quick: bool, max_wait_ms: float) -> dict:
             })
             rows = []
             for n in client_grid:
+                # Per-cell coalescing deltas (ADVICE r3: an aggregate over
+                # warm-up + every cell understates coalescing at high load —
+                # the 1-client cell coalesces at ~1 row/dispatch).
+                b = service.batcher
+                b0 = (b.batches_dispatched, b.rows_dispatched) if b else (0, 0)
                 cell = _run_cell(url, dims, n, reqs)
+                if b is not None:
+                    d_batches = b.batches_dispatched - b0[0]
+                    d_rows = b.rows_dispatched - b0[1]
+                    cell["dispatches"] = d_batches
+                    cell["rows_per_dispatch"] = d_rows / max(d_batches, 1)
                 print(
                     f"[{mode}] clients={n:3d} p50 {cell['p50_ms']:8.1f} ms  "
                     f"p99 {cell['p99_ms']:8.1f} ms  "
                     f"{cell['throughput_rps']:7.1f} req/s"
+                    + (
+                        f"  {cell['rows_per_dispatch']:.1f} rows/dispatch"
+                        if "rows_per_dispatch" in cell
+                        else ""
+                    )
                 )
                 rows.append(cell)
             results[mode] = rows
@@ -160,9 +175,6 @@ def run(quick: bool, max_wait_ms: float) -> dict:
                 mb_stats[mode] = {
                     "batches_dispatched": b.batches_dispatched,
                     "rows_dispatched": b.rows_dispatched,
-                    "avg_rows_per_dispatch": (
-                        b.rows_dispatched / max(b.batches_dispatched, 1)
-                    ),
                 }
                 b.close()
         finally:
@@ -193,25 +205,29 @@ def write_report(payload: dict, path_md: str, path_json: str) -> None:
         "Latencies are client-observed (JSON + socket + validation + device "
         "dispatch + host fetch). Generated by `experiments/server_load.py`.",
         "",
-        "| clients | mode | p50 ms | p95 ms | p99 ms | req/s |",
-        "|---|---|---|---|---|---|",
+        "| clients | mode | p50 ms | p95 ms | p99 ms | p99/p50 | req/s | rows/dispatch |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for i, cell in enumerate(res["serialized"]):
         for mode in ("serialized", "micro_batch"):
             c = res[mode][i]
+            rpd = (
+                f"{c['rows_per_dispatch']:.1f}"
+                if "rows_per_dispatch" in c
+                else "—"
+            )
             lines.append(
                 f"| {c['n_clients']} | {mode} | {c['p50_ms']:.1f} | "
                 f"{c['p95_ms']:.1f} | {c['p99_ms']:.1f} | "
-                f"{c['throughput_rps']:.1f} |"
+                f"{c['p99_ms'] / c['p50_ms']:.2f} | "
+                f"{c['throughput_rps']:.1f} | {rpd} |"
             )
-    mb = payload["micro_batch_stats"].get("micro_batch")
-    if mb:
-        lines += [
-            "",
-            f"Micro-batcher coalescing: {mb['batches_dispatched']} dispatches "
-            f"for {mb['rows_dispatched']} rows "
-            f"(avg {mb['avg_rows_per_dispatch']:.1f} rows/dispatch).",
-        ]
+    lines += [
+        "",
+        "rows/dispatch is the per-cell coalescing delta (dispatch counters "
+        "snapshotted around each cell, so the 1-client cell's ~1 "
+        "row/dispatch doesn't dilute the high-load figure).",
+    ]
     smax = res["serialized"][-1]
     mmax = res["micro_batch"][-1]
     lines += [

@@ -186,6 +186,37 @@ class TestF0:
         est = np.asarray(f0)[v].mean()
         assert abs(est - freq) / freq < 0.08, est
 
+    def test_parabolic_refinement_beats_lag_grid(self):
+        """At 440 Hz the integer lag grid is ~36.4 samples — pure argmax is
+        off by up to ~20 cents; the parabolic vertex must land within 5."""
+        sig = jnp.asarray(_tone(440.0, duration=0.5))
+        frames = frame_signal(sig, CFG)
+        _, _, power = mfcc_frames(frames, CFG, use_pallas=False)
+        f0, voiced = f0_autocorrelation(power, CFG)
+        v = np.asarray(voiced)
+        est = np.asarray(f0)[v]
+        cents = 1200.0 * np.abs(np.log2(est / 440.0))
+        assert cents.mean() <= 5.0, cents.mean()
+
+    def test_median_voicing_is_majority_vote(self, rng):
+        """median_voicing=True must equal a 3-frame majority (edge-
+        replicated) of the raw voicing flags; f0 values on frames voiced in
+        both must be identical."""
+        sig = np.concatenate(
+            [_tone(220.0, 0.2), 0.3 * rng.normal(size=1600).astype(np.float32),
+             _tone(220.0, 0.2)]
+        )
+        frames = frame_signal(jnp.asarray(sig), CFG)
+        _, _, power = mfcc_frames(frames, CFG, use_pallas=False)
+        f0a, va = f0_autocorrelation(power, CFG)
+        f0b, vb = f0_autocorrelation(power, CFG, median_voicing=True)
+        v = np.asarray(va).astype(np.float32)
+        pad = np.concatenate([v[:1], v, v[-1:]])
+        expect = (pad[:-2] + pad[1:-1] + pad[2:]) >= 2.0
+        np.testing.assert_array_equal(np.asarray(vb), expect)
+        both = np.asarray(va) & np.asarray(vb)
+        np.testing.assert_array_equal(np.asarray(f0a)[both], np.asarray(f0b)[both])
+
     def test_noise_is_unvoiced(self, rng):
         sig = jnp.asarray(rng.normal(size=8000).astype(np.float32))
         frames = frame_signal(sig, CFG)
@@ -398,3 +429,118 @@ class TestFusedFromSignal:
         assert m.shape == (n_expected, CFG.n_mfcc)
         assert t.shape == (n_expected, 2)
         assert np.all(np.isfinite(np.asarray(m)))
+
+
+class TestVmapAllPaths:
+    """Regression for the round-3 bench crash (BENCH_r03): jax.vmap of EVERY
+    public frontend entry point must work on EVERY path. The pallas paths go
+    through custom_vmap rules that collapse mapped axes into the kernel's
+    native batch axis, so pallas_call's generic batching rule (which Mosaic
+    cannot lower for the pl.ANY chunks operand) is never reached — the same
+    program structure bench.py dispatches, on any backend."""
+
+    # (path kwarg for mfcc_from_signal, use_pallas flag for extract_*)
+    PATHS = [("conv", None), ("frames", False), ("pallas", True)]
+
+    def _sigs(self, rng, b=3, n=9000):
+        t = np.arange(n) / 16000.0
+        base = np.sin(2 * np.pi * 180.0 * t)
+        out = np.stack(
+            [(0.3 + 0.2 * i) * base + 0.05 * rng.normal(size=n)
+             for i in range(b)]
+        )
+        return jnp.asarray(out.astype(np.float32))
+
+    @pytest.mark.parametrize("path", ["conv", "frames", "pallas"])
+    def test_vmap_mfcc_from_signal_matches_batched(self, rng, path):
+        from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+        sigs = self._sigs(rng)
+        interp = path == "pallas"
+        fn = lambda s: mfcc_from_signal(s, CFG, path=path, interpret=interp)
+        vm = jax.jit(jax.vmap(fn))(sigs)
+        batched = mfcc_from_signal(sigs, CFG, path=path, interpret=interp)
+        for a, b in zip(vm, batched):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("path,use_pallas", PATHS)
+    def test_vmap_extract_utterance_features(self, rng, path, use_pallas):
+        sigs = self._sigs(rng)
+        interp = path == "pallas"
+        vm = jax.jit(jax.vmap(
+            lambda s: extract_utterance_features(
+                s, CFG, use_pallas=use_pallas, interpret=interp)
+        ))(sigs)
+        assert vm.shape == (3, FEATURE_DIM)
+        for i in range(3):
+            single = extract_utterance_features(
+                sigs[i], CFG, use_pallas=use_pallas, interpret=interp
+            )
+            np.testing.assert_allclose(
+                np.asarray(vm[i]), np.asarray(single), rtol=1e-4, atol=1e-4
+            )
+
+    @pytest.mark.parametrize("path,use_pallas", PATHS)
+    def test_vmap_audio_frame_features(self, rng, path, use_pallas):
+        sigs = self._sigs(rng)
+        interp = path == "pallas"
+        vm = jax.jit(jax.vmap(
+            lambda s: audio_frame_features(
+                s, CFG, use_pallas=use_pallas, interpret=interp)
+        ))(sigs)
+        assert vm.shape[0] == 3 and vm.shape[-1] == FEATURE_DIM
+        assert np.all(np.isfinite(np.asarray(vm)))
+
+    @pytest.mark.parametrize("path,use_pallas", PATHS)
+    def test_vmap_extract_enhanced_features(self, rng, path, use_pallas):
+        from tpu_deer.ops.audio_frontend import (
+            extract_enhanced_utterance_features,
+        )
+
+        sigs = self._sigs(rng)
+        interp = path == "pallas"
+        vm = jax.jit(jax.vmap(
+            lambda s: extract_enhanced_utterance_features(
+                s, CFG, use_pallas=use_pallas, interpret=interp)
+        ))(sigs)
+        assert vm.shape == (3, 84)
+        assert np.all(np.isfinite(np.asarray(vm)))
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_vmap_mfcc_frames(self, rng, use_pallas):
+        frames = jnp.asarray(
+            rng.normal(size=(3, 20, CFG.n_fft)).astype(np.float32)
+        )
+        vm = jax.jit(jax.vmap(
+            lambda f: mfcc_frames(f, CFG, use_pallas=use_pallas,
+                                  interpret=use_pallas)
+        ))(frames)
+        ref = [
+            mfcc_frames(frames[i], CFG, use_pallas=False) for i in range(3)
+        ]
+        for j in range(3):  # mfcc / logmel / power
+            for i in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(vm[j][i]), np.asarray(ref[i][j]),
+                    rtol=2e-3, atol=5e-3,
+                )
+
+    def test_nested_vmap_pallas(self, rng):
+        """Two stacked vmap levels must also collapse cleanly."""
+        from tpu_deer.ops.audio_frontend import mfcc_from_signal
+
+        sigs = self._sigs(rng, b=4).reshape(2, 2, -1)
+        fn = lambda s: mfcc_from_signal(s, CFG, path="pallas", interpret=True)
+        out = jax.vmap(jax.vmap(fn))(sigs)
+        flat = mfcc_from_signal(
+            sigs.reshape(4, -1), CFG, path="pallas", interpret=True
+        )
+        for a, b in zip(out, flat):
+            np.testing.assert_allclose(
+                np.asarray(a).reshape(b.shape), np.asarray(b),
+                rtol=1e-5, atol=1e-5,
+            )
+
+

@@ -169,9 +169,13 @@ class TestIEMOCAP:
         splits = load_iemocap(iemocap_root, cache_dir=cdir, pretrain_text=True)
         ds = splits["test"]
         assert np.abs(ds.arrays["text"]).sum() > 0
-        # The pretrained encoder was cached for reuse.
-        assert os.path.exists(
-            os.path.join(cdir, "text_encoder", "encoder.msgpack")
+        # The pretrained encoder was cached for reuse, keyed by the corpus
+        # content (ADVICE r3: a quick-trained encoder must never be silently
+        # reused by a full run).
+        import glob
+
+        assert glob.glob(
+            os.path.join(cdir, "text_encoder_*", "encoder.msgpack")
         )
         # Features differ from the hashed baseline on the same transcripts.
         hashed = MultimodalFeatureExtractor().text.extract("hello there friend")
@@ -235,7 +239,11 @@ class TestMELD:
         assert splits["text_backend"] == "mlm"
         hashed = TextFeatureExtractor()._hashed("I am so happy today!")
         assert not np.allclose(splits["train"].arrays["text"][0], hashed)
-        assert os.path.exists(os.path.join(cdir, "text_encoder", "encoder.msgpack"))
+        import glob
+
+        assert glob.glob(
+            os.path.join(cdir, "text_encoder_*", "encoder.msgpack")
+        )
 
     def test_dominance_not_degenerate(self, meld_root, extractor):
         from tpu_deer.data.meld import EMOTION_VAD

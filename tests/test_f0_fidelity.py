@@ -59,15 +59,25 @@ def _run_case(frontend, name):
 def test_autocorr_flat_tones(frontend, name):
     s, *_ = _run_case(frontend, name)
     assert s["gpe"] <= 0.02, s
-    # Integer-lag quantization bounds the cents error (~21c worst at 440Hz).
-    assert s["mae_cents"] <= 35.0, s
+    # Parabolic peak refinement (VERDICT r4): measured ≤1.5 cents on clean
+    # flats (was ~17c from integer-lag quantization at 330/440 Hz).
+    assert s["mae_cents"] <= 5.0, s
     assert s["vde"] <= 0.05, s
 
 
 def test_autocorr_sweep(frontend):
     s, *_ = _run_case(frontend, "sweep 90-480Hz")
     assert s["gpe"] <= 0.05, s
-    assert s["mae_cents"] <= 40.0, s
+    assert s["mae_cents"] <= 5.0, s
+
+
+def test_autocorr_vibrato_and_walk(frontend):
+    """Modulated contours also stay under the ≤8-cent target once the peak
+    is parabolic-refined (measured 2.8 / 0.8 cents)."""
+    for name in ("vibrato 220Hz±5%", "speech-like walk"):
+        s, *_ = _run_case(frontend, name)
+        assert s["gpe"] <= 0.02, (name, s)
+        assert s["mae_cents"] <= 8.0, (name, s)
 
 
 def test_autocorr_voicing_detection(frontend):

@@ -173,3 +173,55 @@ class TestFlashBackwardKernels:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
             )
+
+
+class TestAutoDispatch:
+    """use_flash="auto" (VERDICT r3 task 6): kernel choice follows the
+    measured crossovers, and the auto-dispatched module output is identical
+    to the fixed choice it resolves to."""
+
+    def test_resolve_thresholds(self):
+        from tpu_deer.ops.flash_attention import resolve_use_flash
+
+        assert not resolve_use_flash("auto", 1)
+        assert not resolve_use_flash("auto", 1024)  # fwd crossover is 2048
+        assert resolve_use_flash("auto", 2048)
+        assert resolve_use_flash("auto", 8192)
+        # fwd+bwd crossover is lower: flash wins from 1024 when training
+        assert resolve_use_flash("auto", 1024, training=True)
+        assert not resolve_use_flash("auto", 512, training=True)
+        # explicit choices always win
+        assert resolve_use_flash(True, 1)
+        assert not resolve_use_flash(False, 100000)
+
+    def test_mha_auto_short_t_equals_sdpa(self, rng):
+        """Below the crossover the auto module must produce the SDPA path's
+        output bit-for-bit (same params, same program)."""
+        import jax
+
+        from tpu_deer.models.attention import MultiHeadAttention
+
+        x = jnp.asarray(rng.normal(size=(2, 16, 32)).astype(np.float32))
+        auto = MultiHeadAttention(32, num_heads=4, use_flash="auto")
+        sdpa = MultiHeadAttention(32, num_heads=4, use_flash=False)
+        params = auto.init(jax.random.PRNGKey(0), x, x, x)
+        out_a = auto.apply(params, x, x, x, deterministic=True)
+        out_s = sdpa.apply(params, x, x, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_s))
+
+    def test_mha_auto_long_t_equals_flash(self, rng):
+        """At/above the crossover the auto module must match the flash
+        module (tiny dims keep interpret mode fast)."""
+        import jax
+
+        from tpu_deer.models.attention import MultiHeadAttention
+        from tpu_deer.ops.flash_attention import FLASH_AUTO_INFER_T
+
+        t = FLASH_AUTO_INFER_T
+        x = jnp.asarray(rng.normal(size=(1, t, 16)).astype(np.float32))
+        auto = MultiHeadAttention(16, num_heads=2, use_flash="auto")
+        flash = MultiHeadAttention(16, num_heads=2, use_flash=True)
+        params = auto.init(jax.random.PRNGKey(0), x[:, :8], x[:, :8], x[:, :8])
+        out_a = auto.apply(params, x, x, x, deterministic=True)
+        out_f = flash.apply(params, x, x, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_f))

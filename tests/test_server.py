@@ -194,8 +194,71 @@ class TestMicroBatcher:
         ]
         assert mb._drain_once() == 4  # stops at max_batch
         assert mb._drain_once() == 4
-        assert eng.calls == [4, 4]
+        mb.flush()  # dispatch waves run on the pipeline pool
+        assert sorted(eng.calls) == [4, 4]
         assert all(f.result(timeout=1)["mu"].shape == (2, 3) for f in futs)
+
+    def test_pipeline_keeps_two_waves_in_flight(self):
+        """VERDICT r3 task 7: wave k+1 must dispatch while wave k's device
+        round trip is still draining (pipeline_depth=2)."""
+        import threading
+        import time
+
+        from tpu_deer.server import MicroBatcher
+
+        ev = threading.Event()
+        started = []
+
+        class Slow:
+            def predict(self, a, v, t):
+                started.append(len(a))
+                ev.wait(timeout=5)
+                return {"mu": np.zeros((len(a), 3), np.float32)}
+
+        mb = MicroBatcher(Slow(), max_batch=4, max_wait_ms=0.0, start=False,
+                          pipeline_depth=2)
+        row = lambda: (np.zeros((1, 4), np.float32),) * 3
+        f1 = mb.submit(*row())
+        assert mb._drain_once() == 1  # wave 1 in flight (blocked on ev)
+        f2 = mb.submit(*row())
+        t0 = time.monotonic()
+        assert mb._drain_once() == 1  # wave 2 must NOT wait for wave 1
+        assert time.monotonic() - t0 < 2.0
+        deadline = time.monotonic() + 2.0
+        while len(started) < 2 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert len(started) == 2, "second wave never started while first ran"
+        ev.set()
+        assert f1.result(timeout=2)["mu"].shape == (1, 3)
+        assert f2.result(timeout=2)["mu"].shape == (1, 3)
+        mb.flush()
+
+    def test_adaptive_wait_shrinks_under_load(self):
+        """When the rows/dispatch EWMA reaches adaptive_rows, the straggler
+        window must collapse to zero (the wave cadence batches arrivals);
+        light load keeps the full window."""
+        import time
+
+        from tpu_deer.server import MicroBatcher
+
+        eng = _FakeEngine()
+        mb = MicroBatcher(eng, max_batch=64, max_wait_ms=250.0, start=False,
+                          adaptive_rows=8.0)
+        row = lambda: (np.zeros((1, 4), np.float32),) * 3
+        # Light load: EWMA 0 → the full 250 ms window is honored.
+        f = mb.submit(*row())
+        t0 = time.monotonic()
+        mb._drain_once()
+        assert time.monotonic() - t0 >= 0.2
+        f.result(timeout=1)
+        # Heavy load: EWMA above threshold → no straggler wait.
+        mb._rows_ewma = 20.0
+        f = mb.submit(*row())
+        t0 = time.monotonic()
+        mb._drain_once()
+        assert time.monotonic() - t0 < 0.15
+        f.result(timeout=1)
+        mb.flush()
 
     def test_engine_failure_propagates_to_all(self):
         from tpu_deer.server import MicroBatcher
@@ -438,7 +501,8 @@ class TestReviewFixes:
         ]
         assert mb._drain_once() == 3  # 3+3 > 4: second request deferred
         assert mb._drain_once() == 3
-        assert eng.calls == [3, 3]
+        mb.flush()  # dispatch waves run on the pipeline pool
+        assert sorted(eng.calls) == [3, 3]
         # Order preserved across the deferral.
         np.testing.assert_allclose(futs[0].result(timeout=1)["mu"], 0.0)
         np.testing.assert_allclose(futs[1].result(timeout=1)["mu"], 1.0)

@@ -134,6 +134,28 @@ class TestShardedSaveRestore:
         with pytest.raises(ValueError, match="lacks template leaves"):
             mgr.restore(bad_template, step=1)
 
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_mesh_placed_replicated_uses_chunked(self, tmp_path, n_dev):
+        """A small mesh can leave every leaf of a tp/fsdp layout fully
+        replicated; the format must key off mesh PLACEMENT, not whether any
+        leaf happens to be sharded — otherwise the format flips with mesh
+        size (round-3 regression: dryrun_multichip(2) asserted manifest.json
+        while only the 8-device run produced it)."""
+        mesh = create_mesh(
+            MeshConfig(data=n_dev, model=1), devices=jax.devices()[:n_dev]
+        )
+        params = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), _params()
+        )
+        state = {"params": params, "step": 3}
+        mgr = CheckpointManager(str(tmp_path))
+        path = mgr.save(state, step=3)
+        assert os.path.exists(os.path.join(path, "manifest.json"))
+        assert not os.path.exists(os.path.join(path, "state.msgpack"))
+        restored = mgr.restore(state, step=3)
+        _tree_equal(restored["params"], params)
+        assert restored["step"] == 3
+
     def test_replicated_state_still_msgpack(self, tmp_path):
         """Back-compat: plain single-host state keeps the msgpack format
         (existing artifacts / serving flows read it)."""

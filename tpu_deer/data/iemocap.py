@@ -147,7 +147,16 @@ def load_iemocap(
     under AUTO. Pass pretrain_text=False to force the hashed fallback (e.g.
     for ablation baselines), or True to pretrain even with a provided
     extractor. The backend that actually produced the text features is
-    recorded in the returned dict under "text_backend".
+    recorded in the returned dict under "text_backend". (True cannot
+    override an extractor that already has a bert/encoder backend — the
+    provided backend wins and True is a no-op there.)
+
+    The feature-cache key carries the RESOLVED text backend (ADVICE r3:
+    keying on the *request* cached hashed-fallback or bert features under an
+    "mlm" key forever), so when the MLM bootstrap is skipped — no train
+    transcripts, or a semantic extractor already present — the cache entry
+    names the features it actually holds, and a later run where the
+    bootstrap CAN succeed is a cache miss, not a stale hit.
     """
     from tpu_deer.data.features import MultimodalFeatureExtractor
     from tpu_deer.data.audio_io import load_wav
@@ -162,12 +171,13 @@ def load_iemocap(
         and extractor.text.bert is None
         and extractor.text.encoder is None
     )
-    key = f"iemocap_{'quick' if quick else 'full'}_v2"
-    if want_mlm:
-        key += "_mlmtext"
-    cached = load_cached(cdir, key)
-    if cached is not None:
-        return _split_arrays(cached)
+    base_key = f"iemocap_{'quick' if quick else 'full'}_v3"
+    if not want_mlm:
+        # Backend already resolved — cheap cache exit before any parsing.
+        key = f"{base_key}_{extractor.text.backend}text"
+        cached = load_cached(cdir, key)
+        if cached is not None:
+            return _split_arrays(cached)
 
     samples = parse_annotations(root)
     if not samples:
@@ -195,6 +205,13 @@ def load_iemocap(
                 "text bootstrap skipped: corpus has no train-split "
                 "transcripts — falling back to hashed text features"
             )
+    if want_mlm:
+        # Key on the backend the bootstrap actually resolved to (the
+        # corpus-keyed encoder cache makes re-resolution cheap on reruns).
+        key = f"{base_key}_{extractor.text.backend}text"
+        cached = load_cached(cdir, key)
+        if cached is not None:
+            return _split_arrays(cached)
 
     # Threaded decode: the native C++ wav reader releases the GIL, so a small
     # pool parallelizes the host-bound decode+resample across utterances.

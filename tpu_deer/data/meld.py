@@ -63,8 +63,9 @@ def load_meld(
     extractor and no semantic text backend is configured, MLM-pretrain the
     text featurizer on the TRAIN CSV's utterances (MELD is text-first, so
     this is the highest-leverage channel). Same contract as
-    iemocap.load_iemocap; the resolved backend is returned under
-    "text_backend"."""
+    iemocap.load_iemocap (including the resolved-backend cache keying and
+    the True-cannot-override-a-semantic-extractor rule); the resolved
+    backend is returned under "text_backend"."""
     from tpu_deer.data.features import MultimodalFeatureExtractor
 
     root = Path(root_path)
@@ -77,12 +78,12 @@ def load_meld(
         and extractor.text.bert is None
         and extractor.text.encoder is None
     )
-    key = f"meld_{'quick' if quick else 'full'}_v2"
-    if want_mlm:
-        key += "_mlmtext"
-    cached = load_cached(cdir, key)
-    if cached is not None:
-        return _unpack(cached)
+    base_key = f"meld_{'quick' if quick else 'full'}_v3"
+    if not want_mlm:
+        key = f"{base_key}_{extractor.text.backend}text"
+        cached = load_cached(cdir, key)
+        if cached is not None:
+            return _unpack(cached)
 
     any_found = False
     packed: dict[str, np.ndarray] = {}
@@ -118,6 +119,12 @@ def load_meld(
                 "text bootstrap skipped: MELD train CSV has no utterances — "
                 "falling back to hashed text features"
             )
+    if want_mlm:
+        # Key on the resolved backend (see load_iemocap).
+        key = f"{base_key}_{extractor.text.backend}text"
+        cached = load_cached(cdir, key)
+        if cached is not None:
+            return _unpack(cached)
 
     for split, rows in split_rows.items():
         clip_dir = SPLIT_FILES[split][1]

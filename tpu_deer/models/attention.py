@@ -33,13 +33,19 @@ class MultiHeadAttention(nn.Module):
     (tpu_deer.ops.flash_attention) — O(T·D) memory for long sequences. The
     flash path supports key-padding masks ([B, 1, 1, Tk] or [B, Tk]) and
     skips attention-prob dropout (standard for flash kernels).
+
+    use_flash="auto" (the default) picks the kernel from the measured
+    crossover vs key length and phase (ops.flash_attention.resolve_use_flash):
+    XLA SDPA below it, flash at/above — so seq-len-1 modality attention and
+    short transcripts keep the fused-SDPA path while long raw sequences get
+    O(T·D) memory for free, with no config knob to forget.
     """
 
     feature_dim: int
     num_heads: int = 8
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
-    use_flash: bool = False
+    use_flash: Any = "auto"
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, *, deterministic: bool = True):
@@ -55,7 +61,9 @@ class MultiHeadAttention(nn.Module):
         k = split_heads(nn.Dense(self.feature_dim, dtype=self.dtype, name="k_proj")(key), tk)
         v = split_heads(nn.Dense(self.feature_dim, dtype=self.dtype, name="v_proj")(value), tk)
 
-        if self.use_flash:
+        from tpu_deer.ops.flash_attention import resolve_use_flash
+
+        if resolve_use_flash(self.use_flash, tk, training=not deterministic):
             from tpu_deer.ops.flash_attention import flash_attention
 
             kv_mask = None

@@ -264,7 +264,7 @@ class TransformerBlock(nn.Module):
     mlp_ratio: int = 4
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
-    use_flash: bool = False
+    use_flash: Any = "auto"  # bool | "auto" (measured-crossover dispatch)
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -310,7 +310,10 @@ class TextSequenceEncoder(nn.Module):
     num_heads: int = 8
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
-    use_flash: bool = False  # Pallas flash attention for long transcripts
+    # bool | "auto": auto-dispatch flash vs SDPA at the measured crossover
+    # (ops.flash_attention.resolve_use_flash) — long transcripts get the
+    # O(T·D) Pallas kernel, short ones the fused XLA SDPA.
+    use_flash: Any = "auto"
 
     @nn.compact
     def __call__(

@@ -306,6 +306,30 @@ def _auto_block(t: int) -> int:
     return max(128, ((t + 127) // 128) * 128)
 
 
+# Measured crossovers vs XLA's materialized SDPA (RESULTS_kernels.md, v5e,
+# D=64): forward-only flash loses at T=1024 (1.76 vs 1.59 ms) and wins from
+# T≈2048 on; forward+backward flash already wins at T=1024 (2.77 vs
+# 4.29 ms) because the recomputing backward avoids re-reading the [T,T]
+# probability matrix from HBM. Hence two thresholds.
+FLASH_AUTO_INFER_T = 2048
+FLASH_AUTO_TRAIN_T = 1024
+
+
+def resolve_use_flash(use_flash, t_k: int, training: bool = False) -> bool:
+    """Resolve a bool | "auto" flag to a concrete kernel choice.
+
+    "auto" picks the flash kernel when the key length reaches the measured
+    crossover for the phase (training = gradients will flow, so the
+    fwd+bwd crossover applies). Explicit True/False always wins. Note the
+    flash path skips attention-prob dropout (standard for flash kernels);
+    under "auto" that substitution only ever happens at T ≥ 1024 where the
+    SDPA path's [T,T] dropout mask is itself an HBM liability.
+    """
+    if use_flash == "auto":
+        return t_k >= (FLASH_AUTO_TRAIN_T if training else FLASH_AUTO_INFER_T)
+    return bool(use_flash)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )

@@ -40,11 +40,13 @@ never leave the process un-validated (shape/dtype checked against the model
 config).
 
 With `--micro_batch`, concurrent requests are COALESCED: request threads
-enqueue and a single dispatcher thread drains the queue into one device
-dispatch (up to `max_batch` rows, waiting at most `max_wait_ms` for
-stragglers). Under load this turns N tiny padded batches into one large
-batch — the TPU sees MXU-sized matmuls and per-request latency *drops*
-because requests no longer queue behind N-1 sequential dispatches.
+enqueue and a dispatcher thread drains the queue into device-dispatch waves
+(up to `max_batch` rows each; up to `pipeline_depth` waves in flight so the
+next wave assembles while the previous one's round trip drains; the
+`max_wait_ms` straggler window shrinks to zero under sustained load). Under
+load this turns N tiny padded batches into large batches — the TPU sees
+MXU-sized matmuls and per-request latency *drops* because requests no
+longer queue behind N-1 sequential dispatches.
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ import json
 import logging
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -89,6 +91,9 @@ def _close_dispatcher(d, reason: str) -> None:
                 reason,
             )
             return
+    pool = getattr(d, "_pool", None)
+    if pool is not None:
+        pool.shutdown(wait=True)  # in-flight dispatch waves finish first
     exc = RuntimeError(reason)
     leftovers = list(d._carry)
     d._carry.clear()
@@ -111,26 +116,45 @@ class MicroBatcher:
     Request threads call `submit(audio, video, text)` and block on the
     returned Future. One dispatcher thread drains the queue: it takes the
     first waiting request, then keeps collecting until `max_batch` rows are
-    assembled or `max_wait_ms` elapses, concatenates, runs ONE
-    `engine.predict`, and scatters the row slices back to each Future.
-    Per-request work is O(copy); device time is paid once per coalesced
-    batch instead of once per request.
+    assembled or the straggler window elapses, concatenates, and hands the
+    wave to a small dispatch pool that runs `engine.predict` and scatters
+    the row slices back to each Future. Per-request work is O(copy); device
+    time is paid once per coalesced batch instead of once per request.
+
+    Tail-latency controls (VERDICT r3 task 7 — p99/p50 was 1.32 at 64
+    clients with the serial dispatcher):
+      * `pipeline_depth` dispatch waves may be in flight at once (default 2):
+        while wave k's device compute + host-fetch round trip drains, the
+        dispatcher is already assembling and dispatching wave k+1 — arrivals
+        no longer wait out a full serialized wave they just missed.
+      * the `max_wait_ms` straggler window ADAPTS to load: when the EWMA of
+        rows/dispatch reaches `adaptive_rows`, the dispatch cadence itself
+        is batching arrivals, so the window shrinks to zero instead of
+        adding dead time to every wave; it re-opens when load drops.
     """
 
     def __init__(self, engine, max_batch: int = 256, max_wait_ms: float = 2.0,
-                 start: bool = True):
+                 start: bool = True, pipeline_depth: int = 2,
+                 adaptive_rows: float = 8.0):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        self.adaptive_rows = adaptive_rows
         self.queue: "queue.Queue" = queue.Queue()
         self.batches_dispatched = 0
         self.rows_dispatched = 0
+        self._rows_ewma = 0.0  # dispatcher-thread-only
         self._closed = False
         self._close_lock = threading.Lock()
         # Items deferred by the dispatcher (max_batch overshoot). Processed
         # BEFORE new queue items, so request order is preserved. Dispatcher-
         # thread-only — no lock.
         self._carry: list = []
+        depth = max(1, int(pipeline_depth))
+        self._pool = ThreadPoolExecutor(
+            max_workers=depth, thread_name_prefix="microbatch-dispatch"
+        )
+        self._inflight = threading.Semaphore(depth)
         self._thread = None
         if start:
             self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -149,6 +173,16 @@ class MicroBatcher:
 
     def close(self):
         _close_dispatcher(self, "MicroBatcher is closed")
+
+    def flush(self):
+        """Block until every in-flight dispatch wave has completed (used by
+        tests and draining shutdowns; normal callers just wait on their own
+        Futures)."""
+        depth = getattr(self._pool, "_max_workers", 1)
+        for _ in range(depth):
+            self._inflight.acquire()
+        for _ in range(depth):
+            self._inflight.release()
 
     # -- dispatcher ------------------------------------------------------
     def _loop(self):
@@ -182,7 +216,11 @@ class MicroBatcher:
             batch.append(item)
             rows += len(item[0])
         saw_sentinel = False
-        deadline = time.monotonic() + self.max_wait_s
+        # Adaptive straggler window: under heavy coalescing (EWMA of
+        # rows/dispatch at/above adaptive_rows) the wave cadence already
+        # batches arrivals — waiting only adds tail latency.
+        wait_s = 0.0 if self._rows_ewma >= self.adaptive_rows else self.max_wait_s
+        deadline = time.monotonic() + wait_s
         while rows < self.max_batch and not self._carry:
             remaining = deadline - time.monotonic()
             try:
@@ -201,13 +239,23 @@ class MicroBatcher:
                 break
             batch.append(item)
             rows += len(item[0])
+        self.batches_dispatched += 1
+        self.rows_dispatched += rows
+        self._rows_ewma = 0.9 * self._rows_ewma + 0.1 * rows
+        # Bounded pipelining: block until a dispatch slot frees (at most
+        # pipeline_depth waves in flight), then hand off — the dispatcher
+        # immediately returns to assembling the next wave while this one's
+        # device round trip drains on a pool worker.
+        self._inflight.acquire()
+        self._pool.submit(self._dispatch_wave, batch)
+        return -1 if saw_sentinel else rows
+
+    def _dispatch_wave(self, batch):
         try:
             a = np.concatenate([b[0] for b in batch])
             v = np.concatenate([b[1] for b in batch])
             t = np.concatenate([b[2] for b in batch])
             out = self.engine.predict(a, v, t)
-            self.batches_dispatched += 1
-            self.rows_dispatched += rows
             off = 0
             for ba, _, _, fut in batch:
                 n = len(ba)
@@ -217,7 +265,8 @@ class MicroBatcher:
             for *_, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
-        return -1 if saw_sentinel else rows
+        finally:
+            self._inflight.release()
 
 
 class StreamingSessionService:
@@ -461,13 +510,15 @@ class PredictionService:
 
     def __init__(self, engine, dims: tuple[int, int, int],
                  micro_batch: bool = False, max_batch: int = 256,
-                 max_wait_ms: float = 2.0, streaming=None, conformal=None):
+                 max_wait_ms: float = 2.0, pipeline_depth: int = 2,
+                 streaming=None, conformal=None):
         self.engine = engine
         self.dims = dims
         self.lock = threading.Lock()
         self.requests_served = 0
         self.batcher = (
-            MicroBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
+            MicroBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                         pipeline_depth=pipeline_depth)
             if micro_batch
             else None
         )
@@ -501,7 +552,8 @@ class PredictionService:
             "quantiles": q,
         }
 
-    _SERVICE_KW = ("micro_batch", "max_batch", "max_wait_ms")
+    _SERVICE_KW = ("micro_batch", "max_batch", "max_wait_ms",
+                   "pipeline_depth")
 
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str, config=None,
@@ -757,7 +809,11 @@ def main(argv=None) -> int:
     p.add_argument("--max_batch", type=int, default=256,
                    help="micro-batching: max coalesced rows per dispatch")
     p.add_argument("--max_wait_ms", type=float, default=2.0,
-                   help="micro-batching: max straggler wait per dispatch")
+                   help="micro-batching: max straggler wait per dispatch "
+                        "(auto-shrinks to 0 under sustained load)")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="micro-batching: dispatch waves in flight at once "
+                        "(2 overlaps assembly with the device round trip)")
     p.add_argument("--conformal",
                    help="conformal quantile JSON (the CLI evaluate stage's "
                         "results/conformal.json); /predict responses gain "
@@ -780,7 +836,8 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
 
     mb = dict(micro_batch=args.micro_batch, max_batch=args.max_batch,
-              max_wait_ms=args.max_wait_ms)
+              max_wait_ms=args.max_wait_ms,
+              pipeline_depth=args.pipeline_depth)
     if args.ensemble > 1 and not args.checkpoint:
         p.error("--ensemble requires --checkpoint. AOT ensemble artifacts "
                 "(--mode export --ensemble K) already bake the member "

@@ -179,17 +179,37 @@ def pretrain_text_encoder(
     return params, vocab, history
 
 
+def _encoder_cache_dir(cache_dir, train_texts: Sequence[str]) -> str:
+    """Cache dir for a bootstrap-trained encoder, keyed by the training
+    corpus (count + content hash) so distinct corpora — quick truncations,
+    grown transcripts — never share an entry."""
+    import hashlib
+
+    digest = hashlib.sha1(
+        "\x1f".join(train_texts).encode("utf-8", "replace")
+    ).hexdigest()[:10]
+    return os.path.join(
+        str(cache_dir), f"text_encoder_{len(train_texts)}_{digest}"
+    )
+
+
 def corpus_text_featurizer(train_texts: Sequence[str], cache_dir) -> "TextEncoderFeaturizer":
-    """MLM-pretrain (or load from `cache_dir/text_encoder`) a text featurizer
-    on a corpus' own TRAIN-split transcripts — the automatic bootstrap the
-    loaders run when no semantic text backend is configured (no local BERT,
-    no saved encoder dir), instead of silently falling back to hashing.
+    """MLM-pretrain (or load from cache) a text featurizer on a corpus' own
+    TRAIN-split transcripts — the automatic bootstrap the loaders run when no
+    semantic text backend is configured (no local BERT, no saved encoder
+    dir), instead of silently falling back to hashing.
 
     The epoch budget scales inversely with corpus size so tiny fixtures still
     converge while real corpora stay affordable. The trained featurizer is
-    cached next to the feature cache, so the cost is paid once per corpus.
+    cached next to the feature cache, KEYED BY THE TRAINING CORPUS CONTENT
+    (count + text hash): a --quick run truncates the corpus, and its
+    undertrained encoder must never be silently reused by a later full run
+    (ADVICE r3). Different corpora — or the same corpus with transcripts
+    added later — therefore always retrain or hit their own cache entry.
     """
-    enc_dir = os.path.join(str(cache_dir), "text_encoder")
+    if not train_texts:
+        raise ValueError("text bootstrap requested but the corpus has no train text")
+    enc_dir = _encoder_cache_dir(cache_dir, train_texts)
     if os.path.exists(os.path.join(enc_dir, "encoder.msgpack")):
         import logging
 
@@ -197,8 +217,6 @@ def corpus_text_featurizer(train_texts: Sequence[str], cache_dir) -> "TextEncode
             f"text features: cached MLM encoder from {enc_dir}"
         )
         return TextEncoderFeaturizer.load(enc_dir)
-    if not train_texts:
-        raise ValueError("text bootstrap requested but the corpus has no train text")
     import logging
 
     log = logging.getLogger(__name__)

@@ -125,6 +125,16 @@ class TrainingConfig:
     # Rematerialize the forward under grad (jax.checkpoint): trades FLOPs for
     # activation memory — irrelevant at 4M params, essential at scale.
     remat: bool = False
+    # Storage dtype for parameters (and therefore gradients and Adam
+    # moments, which inherit the param dtype). "bfloat16" halves the
+    # param/grad/moment HBM traffic per step — the knob VERDICT r3 task 3
+    # asks to measure against the width-1 "HBM-bound" claim
+    # (experiments/hbm_study.py). NIG-head math still runs in float32 (the
+    # heads cast up; repo convention), and compute_dtype independently
+    # controls activation precision. Caveat for long runs: bf16 Adam second
+    # moments quantize the 1e-3-scale EMA updates — use for perf studies
+    # and short runs, keep float32 for headline training.
+    storage_dtype: str = "float32"
     # Parameter layout under a mesh: 'tp' (fusion kernels over 'model'),
     # 'fsdp' (ZeRO-style — every large param + its Adam moments sharded over
     # 'data'; XLA inserts the gathers), or 'replicated'. See
@@ -256,6 +266,17 @@ class DEERTrainer:
                 from tpu_deer.parallel.mesh import shard_params
 
                 params = shard_params(params, mesh, mode=config.param_sharding)
+
+        if config.storage_dtype != "float32":
+            sd = jnp.dtype(config.storage_dtype)
+            params = jax.tree_util.tree_map(
+                lambda p: (
+                    p.astype(sd)
+                    if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating)
+                    else p
+                ),
+                params,
+            )
 
         self.state = TrainState(
             params=params,
