@@ -159,7 +159,7 @@ def main(argv=None) -> int:
     results = trainer.train({"synthetic": train_ds}, {"synthetic": val_ds})
     train_time = time.time() - t0
 
-    pred = trainer.predict(test_ds)
+    pred = trainer.predict(test_ds, return_nig=True)
     ev = DEERModelEvaluator(n_bootstrap=500).evaluate_arrays(
         pred["mu"], test_ds.arrays["labels"], pred["uncertainty"], n_params
     )
@@ -170,6 +170,12 @@ def main(argv=None) -> int:
     ece_calibrated = ece_np(
         pred["mu"], test_ds.arrays["labels"], pred["calibrated_uncertainty"]
     )
+    # Raw NIG in the metric's units: the closed-form Student-t E|y-mu|
+    # (nig_expected_abs_error) — a deterministic reparameterization of the
+    # same 4 NIG outputs, no learned correction. The moment channel
+    # beta(1+nu)/(nu(alpha-1)) is in variance units and carries a 1/(alpha-1)
+    # inflation; see experiments/nig_calibration_study.py for the diagnosis.
+    ece_raw_eabs = ece_np(pred["mu"], test_ds.arrays["labels"], pred["eabs"])
     # Post-hoc scalar scale fit on the VALIDATION split (standard temperature-
     # style calibration; test stays untouched by the fit).
     from tpu_deer.eval.calibration import fit_uncertainty_scale
@@ -205,6 +211,7 @@ def main(argv=None) -> int:
         "best_val_ccc": results["best_val_ccc"],
         "test": ev.to_dict(),
         "ece_calibrated": float(ece_calibrated),
+        "ece_raw_eabs": float(ece_raw_eabs),
         "ece_posthoc": float(ece_posthoc),
         "posthoc_scale": best_scale,
         "uncertainty": {
@@ -237,7 +244,8 @@ def main(argv=None) -> int:
         f"| CCC average | {ev.ccc_average:.3f} |",
         f"| MAE average | {ev.mae_average:.3f} |",
         f"| RMSE average | {ev.rmse_average:.3f} |",
-        f"| ECE (raw NIG uncertainty) | {ev.ece:.3f} |",
+        f"| ECE (raw NIG, moment channel, variance units) | {ev.ece:.3f} |",
+        f"| ECE (raw NIG, closed-form E\\|err\\| channel) | {ece_raw_eabs:.3f} |",
         f"| ECE (calibrated uncertainty) | {ece_calibrated:.3f} |",
         f"| ECE (+ post-hoc scale fit on val) | {ece_posthoc:.3f} |",
         f"| uncertainty-error correlation (total) | "

@@ -173,3 +173,37 @@ class TestPredictiveInterval:
         lo_w, hi_w = nig.nig_predictive_interval(wide)
         assert float(lo_n[0, 0]) < 0 < float(hi_n[0, 0])
         assert float(hi_w[0, 0]) > float(hi_n[0, 0])
+
+
+class TestExpectedAbsError:
+    def test_matches_monte_carlo(self):
+        """E|y-mu| closed form vs sampling from the NIG generative model."""
+        rng = np.random.default_rng(0)
+        for nu_v, al_v, be_v in [(1.0, 1.5, 0.5), (0.3, 1.05, 2.0), (10.0, 4.0, 0.2)]:
+            p = nig.NIGParams(
+                mu=jnp.zeros(()), nu=jnp.array(nu_v),
+                alpha=jnp.array(al_v), beta=jnp.array(be_v),
+            )
+            n = 400_000
+            sigma2 = 1.0 / rng.gamma(al_v, 1.0 / be_v, n)
+            mu_s = rng.normal(0.0, np.sqrt(sigma2 / nu_v))
+            y = rng.normal(mu_s, np.sqrt(sigma2))
+            mc = float(np.abs(y).mean())
+            cf = float(nig.nig_expected_abs_error(p))
+            assert abs(cf - mc) / mc < 0.02, (nu_v, al_v, be_v, cf, mc)
+
+    def test_finite_as_alpha_approaches_one(self):
+        """The moment channel beta/(alpha-1) diverges as alpha->1+; the
+        t-marginal E|err| must stay finite and modest (df=2a>2 always)."""
+        p = nig.NIGParams(
+            mu=jnp.zeros(4), nu=jnp.ones(4),
+            alpha=jnp.array([1.0001, 1.01, 1.5, 4.0]), beta=jnp.ones(4),
+        )
+        moment = nig.nig_uncertainties(p)["total"]
+        eabs = nig.nig_expected_abs_error(p)
+        assert float(moment[0]) > 1e3  # the divergence being replaced
+        assert np.all(np.isfinite(np.asarray(eabs)))
+        assert float(eabs[0]) < 100.0
+        # monotone in beta at fixed alpha, nu
+        p2 = p._replace(beta=2.0 * p.beta)
+        assert np.all(np.asarray(nig.nig_expected_abs_error(p2)) > np.asarray(eabs))

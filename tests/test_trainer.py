@@ -237,6 +237,26 @@ class TestTraining:
         assert out["uncertainty"].shape == (n, 3)
         assert out["aleatoric"].shape == (n, 3)
 
+    def test_predict_return_nig(self):
+        """return_nig exposes the raw NIG params and the closed-form
+        expected-|error| channel; eabs must equal nig_expected_abs_error
+        applied to the returned (nu, alpha, beta) and respect constraints."""
+        from tpu_deer.core.nig import NIGParams, nig_expected_abs_error
+
+        train, val = _datasets()
+        trainer, _ = _trainer(num_epochs=1)
+        trainer.train(train, val)
+        out = trainer.predict(val["synthetic"], return_nig=True)
+        n = len(val["synthetic"])
+        for k in ("nu", "alpha", "beta", "eabs"):
+            assert out[k].shape == (n, 3), k
+        assert np.all(out["alpha"] > 1.0)
+        assert np.all(out["nu"] > 0.0) and np.all(out["beta"] > 0.0)
+        expect = nig_expected_abs_error(NIGParams(
+            mu=out["mu"], nu=out["nu"], alpha=out["alpha"], beta=out["beta"]
+        ))
+        np.testing.assert_allclose(out["eabs"], np.asarray(expect), rtol=1e-4)
+
     def test_early_stopping(self):
         train, val = _datasets()
         trainer, _ = _trainer(num_epochs=40, early_stopping_patience=2,

@@ -174,6 +174,37 @@ def kl_regularizer_v2(p: NIGParams, eps: float = 1e-6) -> jax.Array:
     return kl_alpha + 0.1 * kl_beta
 
 
+def nig_expected_abs_error(p: NIGParams) -> jax.Array:
+    """Closed-form E|y - mu| under the NIG's Student-t posterior predictive.
+
+    The marginal over y is St(mu, s^2, df) with df = 2*alpha and
+    s^2 = beta*(1+nu)/(nu*alpha). The mean absolute deviation of a standard
+    Student-t with df > 1 is
+
+        E|T_df| = 2*sqrt(df)*Gamma((df+1)/2) / (sqrt(pi)*(df-1)*Gamma(df/2))
+
+    so E|y - mu| = s * E|T_df|. This is the statistically correct "predicted
+    absolute error" channel for quantile-bin ECE (metrics.py compares mean
+    uncertainty against mean |err| per bin — a quantity in |error| units,
+    not variance units). Unlike the moment decomposition E[sigma^2] =
+    beta/(alpha-1) (reference src/models/deer.py:96-98), whose 1/(alpha-1)
+    diverges as the v2 KL regularizer pulls alpha toward 1, the t-marginal
+    scale divides by alpha, so this channel stays finite and well-scaled for
+    every reachable parameter value (df = 2*alpha > 2 by construction).
+    Diagnosed in experiments/nig_calibration_study.py.
+    """
+    df = 2.0 * p.alpha
+    scale = jnp.sqrt(p.beta * (1.0 + p.nu) / (p.nu * p.alpha))
+    log_mad = (
+        0.5 * jnp.log(df)
+        + jax.lax.lgamma(0.5 * (df + 1.0))
+        - jax.lax.lgamma(0.5 * df)
+        - jnp.log(df - 1.0)
+    )
+    mad_std_t = 2.0 / math.sqrt(math.pi) * jnp.exp(log_mad)
+    return scale * mad_std_t
+
+
 def nig_predictive_interval(
     p: NIGParams, coverage: float = 0.95
 ) -> tuple[jax.Array, jax.Array]:

@@ -34,6 +34,7 @@ import optax
 
 from tpu_deer.core import losses as loss_lib
 from tpu_deer.core import metrics as metrics_lib
+from tpu_deer.core.nig import nig_expected_abs_error
 from tpu_deer.data.pipeline import ArrayDataset, BatchIterator
 from tpu_deer.models.deer_model import CompleteDEERModel, DEERModelConfig
 from tpu_deer.train.checkpoint import CheckpointManager
@@ -297,6 +298,11 @@ class DEERTrainer:
         self._eval_step_fused = jax.jit(
             lambda params, batch: self._eval_step_impl(
                 params, batch, with_fused=True
+            )
+        )
+        self._eval_step_nig = jax.jit(
+            lambda params, batch: self._eval_step_impl(
+                params, batch, with_nig=True
             )
         )
         self._mc_step = None  # built lazily by predict_mc_dropout
@@ -639,7 +645,9 @@ class DEERTrainer:
         )
         return new_state, aux
 
-    def _eval_step_impl(self, params, batch, with_fused: bool = False):
+    def _eval_step_impl(
+        self, params, batch, with_fused: bool = False, with_nig: bool = False
+    ):
         out = self.model.apply(
             {"params": params},
             batch["audio"],
@@ -671,6 +679,20 @@ class DEERTrainer:
             # output dict and the tunnel's ~17 MB/s host link would pay
             # [B, fusion_dim] extra bytes per batch every epoch.
             res["fused"] = out["fused_features"]
+        if with_nig:
+            # Raw NIG parameters + the closed-form expected-|error| channel
+            # (nig_expected_abs_error) for calibration diagnostics
+            # (experiments/nig_calibration_study.py). Separate jitted
+            # variant for the same tunnel-bandwidth reason as with_fused.
+            for field in ("nu", "alpha", "beta"):
+                res[field] = jnp.concatenate(
+                    [getattr(ps[i], field) for i in range(len(dim_names))],
+                    axis=-1,
+                )
+            res["eabs"] = jnp.concatenate(
+                [nig_expected_abs_error(ps[i]) for i in range(len(dim_names))],
+                axis=-1,
+            )
         return res
 
     def _put(self, batch: dict) -> dict:
@@ -1005,6 +1027,7 @@ class DEERTrainer:
         batch_size: Optional[int] = None,
         use_ema: bool = False,
         return_fused: bool = False,
+        return_nig: bool = False,
     ) -> dict:
         params = self.ema_params if use_ema else self.state.params
         if params is None:
@@ -1018,6 +1041,10 @@ class DEERTrainer:
             # Fused representation for feature-space OOD fitting (eval/ood.py).
             keys = keys + ("fused",)
             step = self._eval_step_fused
+        elif return_nig:
+            # Raw NIG params + expected-|error| channel for calibration work.
+            keys = keys + ("nu", "alpha", "beta", "eabs")
+            step = self._eval_step_nig
         for idx, mask_arr in it.epoch_indices(0):
             batch = self._batch_from_indices(dataset, idx)
             out = step(params, batch)
