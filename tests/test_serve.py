@@ -33,6 +33,11 @@ class TestInferenceEngine:
         assert out["calibrated_uncertainty"].shape == (1, 3)
         assert np.all(out["aleatoric"] > 0)
         assert np.all(out["epistemic"] > 0)
+        # closed-form E|err| channel: positive, |error| units — far below
+        # the variance-units total for this untrained model
+        assert out["expected_abs_error"].shape == (1, 3)
+        assert np.all(out["expected_abs_error"] > 0)
+        assert np.all(np.isfinite(out["expected_abs_error"]))
 
     def test_bucket_padding_consistency(self, engine, rng):
         """Padding to a bucket must not change real rows' results."""
@@ -160,6 +165,12 @@ class TestEnsembleServing:
         np.testing.assert_allclose(out["epistemic"], epi, rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(
             out["uncertainty"], alea + epi, rtol=1e-4, atol=1e-6
+        )
+        eabs = np.mean(
+            [m["expected_abs_error"] for m in member_out], axis=0
+        ) + np.sqrt(2.0 / np.pi * dis)
+        np.testing.assert_allclose(
+            out["expected_abs_error"], eabs, rtol=1e-4, atol=1e-6
         )
 
     def test_rejects_unstacked_params(self):

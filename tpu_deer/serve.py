@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_deer.core.nig import nig_expected_abs_error
 from tpu_deer.models.deer_model import CompleteDEERModel, DEERModelConfig
 
 logger = logging.getLogger(__name__)
@@ -148,6 +149,16 @@ class InferenceEngine:
                     ],
                     axis=-1,
                 ),
+                # Closed-form Student-t E|y-mu| — the raw NIG channel in
+                # |error| units (well-calibrated without the learned layer;
+                # see experiments/nig_calibration_study.py).
+                "expected_abs_error": jnp.concatenate(
+                    [
+                        nig_expected_abs_error(out[f"{n}_params"])
+                        for n in model.config.dim_names
+                    ],
+                    axis=-1,
+                ),
                 "attention_weights": out["attention_weights"],
                 "fused": out["fused_features"],
             }
@@ -193,6 +204,13 @@ class InferenceEngine:
                 ),
                 "aleatoric": aleatoric,
                 "epistemic": epistemic,
+                # Member-mean E|y-mu_m| understates the mixture's E|y-mu|
+                # when member means disagree; add the Gaussian-style
+                # disagreement correction in |error| units so the channel
+                # stays a usable error forecast under ensembling.
+                "expected_abs_error": jnp.mean(
+                    member["expected_abs_error"], axis=0
+                ) + jnp.sqrt(2.0 / jnp.pi * disagreement),
                 "attention_weights": jnp.mean(
                     member["attention_weights"], axis=0
                 ),

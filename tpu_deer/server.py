@@ -488,7 +488,8 @@ class StreamingSessionService:
                     chunks, video=video, text=text, active=active
                 )
                 self.ticks += 1
-                keys = ["mu", "uncertainty", "calibrated_uncertainty"]
+                keys = ["mu", "uncertainty", "calibrated_uncertainty",
+                        "expected_abs_error"]
                 thr = self.rec.ood_threshold
                 if thr is not None:
                     keys.append("ood_score")
@@ -637,7 +638,7 @@ class PredictionService:
             k: np.asarray(v).tolist()
             for k, v in out.items()
             if k in ("mu", "uncertainty", "calibrated_uncertainty",
-                     "ood_score", "is_ood")
+                     "expected_abs_error", "ood_score", "is_ood")
         }
         return self.attach_intervals(resp)
 

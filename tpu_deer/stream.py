@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_deer.core.nig import nig_expected_abs_error
 from tpu_deer.ops import dsp
 from tpu_deer.ops.audio_frontend import (
     AudioFrontendConfig,
@@ -345,6 +346,15 @@ class StreamingRecognizer:
                 "mu": out["mu_all"],
                 "uncertainty": out["uncertainty_all"],
                 "calibrated_uncertainty": out["calibrated_uncertainty"],
+                # Raw-NIG error forecast in |error| units (core/nig.py:
+                # nig_expected_abs_error; calibrated without a learned layer).
+                "expected_abs_error": jnp.concatenate(
+                    [
+                        nig_expected_abs_error(out[f"{n}_params"])
+                        for n in model.config.dim_names
+                    ],
+                    axis=-1,
+                ),
             }
             if self._ood is not None:
                 from tpu_deer.eval.ood import (
