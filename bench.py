@@ -115,6 +115,14 @@ def main(quick: bool = False) -> int:
         )
         return 2
 
+    def _mark(section: str) -> None:
+        # Progress trail on stderr (flushed): when the tunnel wedges
+        # mid-run (observed 2026-08-20, 25 min silent), the redirected log
+        # must show WHICH section was in flight.
+        print(f"# [{time.strftime('%H:%M:%S')}] {section}", file=sys.stderr,
+              flush=True)
+
+    _mark("importing jax / registering backend")
     import jax
     import jax.numpy as jnp
 
@@ -146,6 +154,7 @@ def main(quick: bool = False) -> int:
             jnp.asarray(rng.standard_normal((b, config.text_dim)), jnp.float32),
         )
 
+    _mark("rtt floor")
     # --- tunnel round-trip floor (tiny jitted op + fetch, fresh each time)
     tiny = jnp.arange(8, dtype=jnp.float32)
     bump = jax.jit(lambda x, i: x + i)
@@ -155,6 +164,7 @@ def main(quick: bool = False) -> int:
     )
     rtt_ms = float(np.percentile(rtt, 50))
 
+    _mark("batch-1 latency")
     # --- batch-1 end-to-end latency (RTT-dominated through the tunnel) ----
     warm = make_batch(1)
     np.asarray(forward(params, *warm)[0])  # compile
@@ -163,6 +173,7 @@ def main(quick: bool = False) -> int:
     )
     b1_p50 = float(np.percentile(b1, 50))
 
+    _mark("serving p50 (batch 256)")
     # --- headline: amortized per-sample serving latency at batch 256 ------
     SERVE_B = 8 if quick else 256
     np.asarray(forward(params, *make_batch(SERVE_B))[0])  # compile
@@ -173,6 +184,7 @@ def main(quick: bool = False) -> int:
     p50 = float(np.percentile(sv, 50)) / SERVE_B
     p99 = float(np.percentile(sv, 99)) / SERVE_B
 
+    _mark("int8 serving")
     # --- int8-weight serving at the same batch (weight HBM traffic /4) ----
     from tpu_deer.ops.quantization import dequantize_tree_device, quantize_tree
 
@@ -195,6 +207,7 @@ def main(quick: bool = False) -> int:
     )
     p50_q = float(np.percentile(svq, 50)) / SERVE_B
 
+    _mark("forward throughput scan")
     # --- forward throughput: K batches in ONE scan dispatch + one fetch.
     # Inputs are generated ON DEVICE inside the scan (negligible vs the
     # model FLOPs) so the dispatch carries ~20 TFLOP of work and the ~27 ms
@@ -223,6 +236,7 @@ def main(quick: bool = False) -> int:
     fwd_time = float(np.percentile(ft, 50))
     throughput = K * B / fwd_time
 
+    _mark("pallas audio frontend")
     # --- Pallas audio front-end: 64 utterances per dispatch ---------------
     from tpu_deer.ops.audio_frontend import (
         AudioFrontendConfig,
@@ -256,6 +270,7 @@ def main(quick: bool = False) -> int:
         fts.append((time.perf_counter() - t0) * 1e3 / N_UTT)
     fe_p50 = float(np.percentile(fts, 50))
 
+    _mark("streaming sessions")
     # --- streaming: concurrent real-time sessions per chip ----------------
     # One push = one dispatch advancing S live audio streams by one 256 ms
     # chunk (incremental frontend + flagship forward). Real-time factor =
@@ -279,6 +294,7 @@ def main(quick: bool = False) -> int:
     stream_p50 = float(np.percentile(sts, 50))
     rtf = S_STREAMS * chunk_s / stream_p50
 
+    _mark("train-step throughput")
     # --- train-step throughput: chained steps + ONE final loss fetch ------
     from tpu_deer.data.pipeline import ArrayDataset
     from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
@@ -314,6 +330,7 @@ def main(quick: bool = False) -> int:
         sync_per_step=False,
     )
 
+    _mark("mfu/roofline accounting")
     # --- MFU + roofline accounting (XLA cost analysis: flops + bytes) -----
     peak = peak_flops_per_chip()
     hbm_bw = peak_hbm_bandwidth()
