@@ -47,6 +47,12 @@ def main() -> int:
             np.maximum(d["calibrated_uncertainty"].astype(np.float64), 1e-12)
         ),
     }
+    if "eabs" in d.files:
+        # Closed-form Student-t E|y-mu| (core/nig.py:nig_expected_abs_error)
+        # — already in |error| units, so it is used directly as the score
+        # normalizer, no sqrt. Present in npz files written after the
+        # round-4 headline rerun.
+        sigmas["eabs"] = np.maximum(d["eabs"].astype(np.float64), 1e-12)
 
     rng = np.random.default_rng(0)
     n = mu.shape[0]
