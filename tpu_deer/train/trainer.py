@@ -129,12 +129,17 @@ class TrainingConfig:
     # Storage dtype for parameters (and therefore gradients and Adam
     # moments, which inherit the param dtype). "bfloat16" halves the
     # param/grad/moment HBM traffic per step — the knob VERDICT r3 task 3
-    # asks to measure against the width-1 "HBM-bound" claim
-    # (experiments/hbm_study.py). NIG-head math still runs in float32 (the
-    # heads cast up; repo convention), and compute_dtype independently
-    # controls activation precision. Caveat for long runs: bf16 Adam second
-    # moments quantize the 1e-3-scale EMA updates — use for perf studies
-    # and short runs, keep float32 for headline training.
+    # asks to measure against the width-1 "HBM-bound" claim.
+    # MEASURED (experiments/RESULTS_hbm.md, round 4): the width-1 step is
+    # NOT HBM-bound (7.1 ms vs a 1.0 ms memory floor at the measured
+    # 501 GB/s) — it sits at the matmul-shape ceiling (34.9% step MFU vs
+    # 34.2% for a bare matmul chain at these widths) — and bf16 storage
+    # makes the step 2.7x SLOWER (cast/repack work with no bandwidth win).
+    # Keep float32 unless profiling a different architecture. NIG-head math
+    # still runs in float32 (the heads cast up; repo convention), and
+    # compute_dtype independently controls activation precision. Caveat for
+    # long runs: bf16 Adam second moments quantize the 1e-3-scale EMA
+    # updates.
     storage_dtype: str = "float32"
     # Parameter layout under a mesh: 'tp' (fusion kernels over 'model'),
     # 'fsdp' (ZeRO-style — every large param + its Adam moments sharded over
