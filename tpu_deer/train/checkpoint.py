@@ -199,11 +199,17 @@ def _read_leaf(path: str, key: str, meta: dict, target):
     arrays_dir = os.path.join(path, "arrays")
     shape = tuple(meta["shape"])
     cache: dict = {}
-    if isinstance(target, jax.Array):
+    if isinstance(target, jax.Array) and _is_mesh_placed(target):
         # Re-place per the template's mesh rules: each device's callback
         # reads only the slice that device needs, so restore scales like
         # the sharded save did (and a checkpoint saved under one layout
-        # restores under another).
+        # restores under another). Leaves whose template is NOT mesh-placed
+        # (e.g. fresh optax scalar counters, which optimizer.init creates
+        # uncommitted on the default device even when params live on a
+        # mesh) come back as plain numpy below: committing them to their
+        # single template device would poison jit calls that mix them with
+        # mesh-committed params ("incompatible devices"), while uncommitted
+        # leaves are movable — exactly the placement a fresh trainer has.
         sharding = target.sharding
         return jax.make_array_from_callback(
             shape,
