@@ -101,6 +101,28 @@ class TestShardedSaveRestore:
         restored = mgr.restore_params(_params(np.random.default_rng(4)))
         _tree_equal(restored, params)
 
+    def test_unmeshed_scalar_leaves_restore_uncommitted(self, tmp_path, mesh):
+        """Regression (r4): a state mixing mesh-placed params with unmeshed
+        single-device leaves (optax's `count` scalar from optimizer.init) must
+        restore so that a jit over the whole state still compiles — the
+        chunked restore may NOT commit the scalar to its one template device
+        while params are committed to the mesh ("incompatible devices")."""
+        params = shard_params(_params(), mesh, mode="fsdp")
+        count = jnp.zeros((), jnp.int32)  # uncommitted, default device
+        state = {"params": params, "count": count}
+        mgr = CheckpointManager(str(tmp_path))
+        path = mgr.save(state, step=3)
+        assert os.path.exists(os.path.join(path, "manifest.json"))
+        restored = mgr.restore(state, step=3)
+        _tree_equal(restored["params"], params)
+        assert int(np.asarray(restored["count"])) == 0
+        # The mixed-placement jit that motivated the fix must run.
+        out = jax.jit(
+            lambda s: s["params"]["input_proj"]["bias"].sum()
+            + s["count"].astype(jnp.float32)
+        )(restored)
+        assert np.isfinite(float(out))
+
     def test_no_duplicate_chunks_for_replicated_leaves(self, tmp_path, mesh):
         """A replicated leaf (bias under FSDP rules may stay replicated) is
         written once, not once per device."""
