@@ -116,6 +116,17 @@ def main() -> int:
             row[f"{name}_bwd_ms"] = t_bwd * 1e3
             # fwd+bwd ~ 3.5x fwd FLOPs (FlashAttention-2 accounting)
             row[f"{name}_bwd_tflops"] = 3.5 * flops_fwd / t_bwd / 1e12
+        # use_flash="auto" dispatches to exactly one of the two measured
+        # executables per phase (resolve_use_flash crossovers), so the auto
+        # row is the measured time of the picked path — re-timing the same
+        # jitted kernel a third time would only add noise.
+        from tpu_deer.ops.flash_attention import resolve_use_flash
+
+        for phase, training in (("fwd", False), ("bwd", True)):
+            pick = "flash" if resolve_use_flash("auto", T, training=training) \
+                else "xla"
+            row[f"auto_{phase}_pick"] = pick
+            row[f"auto_{phase}_ms"] = row[f"{pick}_{phase}_ms"]
         attn_rows.append(row)
         print(
             f"attention {row['shape']}: "
@@ -123,7 +134,8 @@ def main() -> int:
             f"({row['flash_fwd_tflops']:.1f} TF/s) vs xla "
             f"{row['xla_fwd_ms']:.2f}ms ({row['xla_fwd_tflops']:.1f}); "
             f"fwd+bwd flash {row['flash_bwd_ms']:.2f}ms vs xla "
-            f"{row['xla_bwd_ms']:.2f}ms",
+            f"{row['xla_bwd_ms']:.2f}ms; auto picks "
+            f"{row['auto_fwd_pick']}/{row['auto_bwd_pick']}",
             flush=True,
         )
 
@@ -231,13 +243,33 @@ def main() -> int:
         )
         f.write("## Attention (forward / forward+backward)\n\n")
         f.write("| shape | flash fwd | XLA fwd | flash fwd ms | XLA fwd ms "
-                "| flash f+b ms | XLA f+b ms |\n|---|---|---|---|---|---|---|\n")
+                "| flash f+b ms | XLA f+b ms | auto (fwd/f+b) |\n"
+                "|---|---|---|---|---|---|---|---|\n")
         for r in attn_rows:
             f.write(
                 f"| {r['shape']} | {r['flash_fwd_tflops']:.1f} TF/s | "
                 f"{r['xla_fwd_tflops']:.1f} TF/s | "
                 f"{r['flash_fwd_ms']:.2f} | {r['xla_fwd_ms']:.2f} | "
-                f"{r['flash_bwd_ms']:.2f} | {r['xla_bwd_ms']:.2f} |\n"
+                f"{r['flash_bwd_ms']:.2f} | {r['xla_bwd_ms']:.2f} | "
+                f"{r['auto_fwd_pick']} {r['auto_fwd_ms']:.2f} / "
+                f"{r['auto_bwd_pick']} {r['auto_bwd_ms']:.2f} |\n"
+            )
+        if attn_rows:
+            auto_ok = all(
+                r[f"auto_{p}_ms"] <= min(r[f"flash_{p}_ms"],
+                                         r[f"xla_{p}_ms"]) + 1e-9
+                for r in attn_rows for p in ("fwd", "bwd")
+            )
+            f.write(
+                "\nuse_flash=\"auto\" (the default in models/attention.py) "
+                "resolves to one of the two measured kernels per phase via "
+                "the crossover thresholds in ops/flash_attention.py; its "
+                "column is the measured time of the picked path. Verdict: "
+                + ("auto matches the faster fixed choice at every shape "
+                   "and phase above." if auto_ok else
+                   "MISPICK — a crossover threshold disagrees with this "
+                   "run's measurements; re-tune FLASH_AUTO_*_T.")
+                + "\n"
             )
         if mfcc_rows:
             f.write("\n## Fused MFCC front-end (framing already done; "
