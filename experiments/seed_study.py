@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Seed-replication study: cross-seed CIs + a computed effect size.
+
+The reference claims "Cohen's d = 1.34, p < 0.001" (README.md:29) with no
+code behind it and no replication protocol. This study computes the claim's
+shape for real on the headline synthetic benchmark:
+
+  * N independent replications (default 5): fresh data draw AND fresh model
+    init per seed, quick-headline recipe (the 65k x 30-epoch variant of
+    experiments/synthetic_headline.py, same loss/optimizer settings).
+  * Per seed, two models are trained: the FULL trimodal model and the
+    strongest single-modality baseline (text-only — reference ablation
+    README.md:407-415 ranks text 0.743 as the best single modality), with
+    excluded modalities zeroed at train and eval time exactly as in
+    eval/ablation.py.
+  * Reported: per-seed + mean +/- std + 95% t-CIs for CCC/MAE/calibrated
+    ECE/raw-eabs ECE/uncertainty-error r, and the paired per-sample
+    significance test (core/metrics.py:statistical_significance_test,
+    behavior of reference metrics.py:282-327) of full vs text-only per
+    seed — Cohen's d and p computed, not asserted.
+
+Writes experiments/RESULTS_seeds.{md,json} (quick smoke: *_quick).
+
+Usage: python experiments/seed_study.py [--quick] [--n_seeds 5]
+(TPU ~15 min; --quick is a CPU-sized smoke.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ci95(vals: np.ndarray) -> tuple[float, float]:
+    """95% CI on the mean via the t distribution (small-N honest)."""
+    from scipy import stats as sp_stats
+
+    n = len(vals)
+    if n < 2:
+        return float(vals[0]), float(vals[0])
+    half = sp_stats.t.ppf(0.975, n - 1) * vals.std(ddof=1) / np.sqrt(n)
+    m = vals.mean()
+    return float(m - half), float(m + half)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_seeds", type=int, default=5)
+    p.add_argument("--n_train", type=int, default=65536)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--lr", type=float, default=1.2e-3)
+    p.add_argument("--quick", action="store_true",
+                   help="CPU smoke: 2 seeds, tiny shapes")
+    p.add_argument("--out", default="experiments/RESULTS_seeds")
+    args = p.parse_args(argv)
+    if args.quick:
+        args.n_seeds = min(args.n_seeds, 2)
+        args.n_train = 2048
+        args.epochs = 4
+        args.batch_size = 256
+        args.out += "_quick"
+
+    import jax
+
+    from tpu_deer.core.metrics import (
+        ccc_np,
+        ece_np,
+        pearson_np,
+        statistical_significance_test,
+    )
+    from tpu_deer.data.pipeline import ArrayDataset
+    from tpu_deer.data.synthetic import SyntheticConfig, make_synthetic_splits
+    from tpu_deer.eval.ablation import _mask_modalities
+    from tpu_deer.models.deer_model import (
+        DEERModelConfig,
+        create_complete_deer_model,
+    )
+    from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
+
+    platform = jax.devices()[0].platform
+    mcfg = DEERModelConfig(
+        dropout=0.05,
+        compute_dtype="bfloat16" if platform == "tpu" else "float32",
+    )
+    tcfg = TrainingConfig(
+        learning_rate=args.lr, batch_size=args.batch_size,
+        num_epochs=args.epochs, warmup_epochs=min(5, args.epochs // 2),
+        scheduler="cosine", early_stopping_patience=10**6,
+        val_frequency=10, kl_weight=0.01, calibration_alignment_weight=0.15,
+        fused_epochs=platform == "tpu",
+    )
+
+    t0 = time.time()
+    rows = []
+    for seed in range(args.n_seeds):
+        splits = make_synthetic_splits(SyntheticConfig(
+            n_train=args.n_train, n_val=args.n_train // 8,
+            n_test=args.n_train // 8, seed=1000 + seed,
+        ))
+        train_ds = ArrayDataset(splits["train"], "synthetic")
+        val_ds = ArrayDataset(splits["val"], "synthetic")
+        test_ds = ArrayDataset(splits["test"], "synthetic")
+        labels = test_ds.arrays["labels"]
+
+        row = {"seed": seed}
+        preds = {}
+        for variant, keep in (("full", ("audio", "video", "text")),
+                              ("text_only", ("text",))):
+            model, params = create_complete_deer_model(mcfg, seed=seed)
+            steps = max(1, args.n_train // args.batch_size)
+            trainer = DEERTrainer(model, params, tcfg, steps_per_epoch=steps)
+            tr = _mask_modalities(train_ds, keep)
+            va = _mask_modalities(val_ds, keep)
+            te = _mask_modalities(test_ds, keep)
+            trainer.train({"synthetic": tr}, {"synthetic": va})
+            pred = trainer.predict(te, return_nig=True)
+            preds[variant] = pred
+            ccc = [ccc_np(labels[:, d], pred["mu"][:, d]) for d in range(3)]
+            row[f"{variant}_ccc"] = float(np.mean(ccc))
+            row[f"{variant}_mae"] = float(np.mean(np.abs(pred["mu"] - labels)))
+        pred = preds["full"]
+        row["ece_calibrated"] = float(ece_np(
+            pred["mu"], labels, pred["calibrated_uncertainty"]))
+        row["ece_eabs"] = float(ece_np(pred["mu"], labels, pred["eabs"]))
+        row["unc_err_r"] = float(pearson_np(
+            np.abs(pred["mu"] - labels).mean(axis=1),
+            pred["uncertainty"].mean(axis=1),
+        ))
+        sig = statistical_significance_test(
+            preds["text_only"]["mu"], labels, preds["full"]["mu"])
+        row["cohens_d"] = sig["cohens_d"]
+        row["p_value"] = sig["p_value"]
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    wall = time.time() - t0
+    agg = {}
+    for key in ("full_ccc", "text_only_ccc", "full_mae", "ece_calibrated",
+                "ece_eabs", "unc_err_r", "cohens_d"):
+        vals = np.array([r[key] for r in rows])
+        lo, hi = _ci95(vals)
+        agg[key] = {
+            "mean": float(vals.mean()),
+            "std": float(vals.std(ddof=1)) if len(vals) > 1 else 0.0,
+            "ci95": [lo, hi],
+        }
+    max_p = max(r["p_value"] for r in rows)
+
+    payload = {
+        "platform": platform,
+        "n_seeds": args.n_seeds,
+        "recipe": {
+            "n_train": args.n_train, "epochs": args.epochs,
+            "batch_size": args.batch_size, "lr": args.lr,
+        },
+        "wall_s": wall,
+        "seeds": rows,
+        "aggregate": agg,
+        "max_p_value": max_p,
+    }
+    with open(args.out + ".json", "w") as f:
+        json.dump(payload, f, indent=2)
+
+    a = agg
+    md = [
+        "# Seed-replication study — computed results",
+        "",
+        f"- platform: **{platform}**, {args.n_seeds} seeds x "
+        f"(full + text-only) trainings, {args.n_train} train samples, "
+        f"{args.epochs} epochs each, {wall:.0f}s total",
+        "- Each seed draws fresh data AND fresh init; text-only is the "
+        "reference ablation's strongest single modality, zero-masked as in "
+        "`eval/ablation.py`. Cohen's d / p from "
+        "`core/metrics.py:statistical_significance_test` (paired per-sample "
+        "|error|, behavior of reference metrics.py:282-327) — the reference "
+        "*claims* d = 1.34, p < 0.001 (README.md:29) with no code.",
+        "",
+        "| metric | mean ± std | 95% CI |",
+        "|---|---|---|",
+    ]
+    labels_map = [
+        ("full_ccc", "CCC avg (full model)"),
+        ("text_only_ccc", "CCC avg (text-only baseline)"),
+        ("full_mae", "MAE (full)"),
+        ("ece_calibrated", "ECE (calibrated channel)"),
+        ("ece_eabs", "ECE (raw NIG E|err| channel)"),
+        ("unc_err_r", "uncertainty-error r"),
+        ("cohens_d", "Cohen's d (full vs text-only)"),
+    ]
+    for key, label in labels_map:
+        md.append(
+            f"| {label} | {a[key]['mean']:.3f} ± {a[key]['std']:.3f} | "
+            f"[{a[key]['ci95'][0]:.3f}, {a[key]['ci95'][1]:.3f}] |"
+        )
+    md += [
+        f"| max p-value over seeds | {max_p:.2e} | — |",
+        "",
+        "Per-seed rows in `RESULTS_seeds.json`.",
+        "",
+        "Reproduce: `python experiments/seed_study.py` (TPU ~15 min; "
+        "`--quick` CPU smoke).",
+    ]
+    with open(args.out + ".md", "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("written:", args.out + ".md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
