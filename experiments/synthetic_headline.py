@@ -71,6 +71,13 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1.2e-3)
     p.add_argument("--warmup_epochs", type=int, default=5)
     p.add_argument("--dropout", type=float, default=0.05)
+    # kl 0.01 (not the TrainingConfig 0.1 default): the NIG calibration
+    # study (RESULTS_nig_calibration.md) measured that the softer KL pull
+    # leaves CCC/MAE/unc-corr unchanged while the raw closed-form E|err|
+    # channel lands scale-true (predicted/realized 1.02 vs 1.39) — at the
+    # 0.1 default the full-scale headline's raw eabs ECE is 0.129; the KL
+    # term was inflating beta/nu jointly (alpha->1 pull) at no metric gain.
+    p.add_argument("--kl_weight", type=float, default=0.01)
     p.add_argument("--calibration_weight", type=float, default=0.15)
     p.add_argument("--out", default="experiments/RESULTS_synthetic")
     p.add_argument(
@@ -148,6 +155,7 @@ def main(argv=None) -> int:
             # the cosine schedule needs the full horizon; val CCC wobbles
             # mid-schedule would otherwise cut it short.
             early_stopping_patience=10**6, val_frequency=10,
+            kl_weight=args.kl_weight,
             calibration_alignment_weight=args.calibration_weight,
             # one lax.scan dispatch per epoch — at 128 steps/epoch the
             # remote-dispatch latency otherwise dominates wall clock
@@ -155,8 +163,25 @@ def main(argv=None) -> int:
         ),
         steps_per_epoch=steps,
     )
+    class _Heartbeat:
+        """Minimal MetricWriter stand-in: one stderr mark per epoch/val so a
+        stalled run is diagnosable from the log (the 100-epoch fused run is
+        otherwise silent for ~30 min; a tunnel slowdown looks identical to a
+        wedge without these)."""
+
+        def scalar(self, key, value, step):
+            if key == "train/lr":
+                print(f"[epoch {step}] lr={value:.2e} "
+                      f"t={time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+
+        def scalars(self, metrics, step, prefix=""):
+            if prefix == "val/":
+                print(f"[epoch {step}] val_ccc={metrics['ccc_average']:.4f} "
+                      f"t={time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+
     t0 = time.time()
-    results = trainer.train({"synthetic": train_ds}, {"synthetic": val_ds})
+    results = trainer.train({"synthetic": train_ds}, {"synthetic": val_ds},
+                            logger=_Heartbeat())
     train_time = time.time() - t0
 
     pred = trainer.predict(test_ds, return_nig=True)
