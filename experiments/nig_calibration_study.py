@@ -124,6 +124,9 @@ def main(argv=None) -> int:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
         args.n_train, args.epochs, args.batch_size = 4096, 6, 256
+        if args.out == "experiments/RESULTS_nig_calibration":
+            # Never clobber the committed full-run artifact with a smoke.
+            args.out = "experiments/RESULTS_nig_calibration_quick"
 
     import jax
 
@@ -186,9 +189,19 @@ def main(argv=None) -> int:
             f"| {r['mean_alpha']:.2f} | {r['mean_nu']:.2f} "
             f"| {r['eabs_over_err']:.2f} | {r['r_eabs_err']:.2f} |"
         )
-    lines += [
+    # The narrative below interprets the committed full-configuration TPU
+    # run. Any non-default rerun (quick smoke, changed sizes, probe subset)
+    # gets only the computed table, so the prose can never contradict
+    # numbers it wasn't written about.
+    is_full_default = (
+        not args.quick and args.n_train == 65536 and args.epochs == 30
+        and len(results) == len(probes) == 5
+    )
+    if is_full_default:
+        lines += [
         "",
-        "## Reading the table (round-4 TPU run, 65k x 30 epochs)",
+        "## Reading the table (pinned interpretation of the full "
+        "65k x 30-epoch TPU configuration)",
         "",
         "- **The NIG head is intrinsically calibrated; the shipped channel "
         "was the wrong point-summary.** At the untouched headline config the "
@@ -215,7 +228,14 @@ def main(argv=None) -> int:
         "- The learned calibration layer stays the belt-and-braces default; "
         "eabs makes the raw channel trustworthy when no calibration data "
         "exists (fresh domains, streaming cold-start).",
-    ]
+        ]
+    else:
+        lines += [
+            "",
+            "(Non-default configuration — computed table only; see the "
+            "committed `RESULTS_nig_calibration.md` for the interpreted "
+            "full run.)",
+        ]
     with open(args.out + ".md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}.json/.md in {payload['elapsed_s']:.0f}s")

@@ -93,6 +93,16 @@ class TestInferenceEngine:
         np.testing.assert_allclose(
             eng["mu"], np.asarray(direct["mu_all"]), atol=1e-5
         )
+        # The engine serves the channel the trainer selected by validation
+        # ECE at checkpoint time (recorded in the checkpoint metadata).
+        meta = ckpt.metadata(step="best")["metrics"]
+        assert meta["serving_channel"] in ("calibrated", "eabs")
+        assert engine.serving_channel == meta["serving_channel"]
+
+    def test_serving_channel_validated(self):
+        model, params = create_complete_deer_model(CFG, seed=0)
+        with pytest.raises(ValueError, match="serving_channel"):
+            InferenceEngine(model, params, serving_channel="moment")
 
 
 class TestQuantizedServing:
@@ -166,9 +176,13 @@ class TestEnsembleServing:
         np.testing.assert_allclose(
             out["uncertainty"], alea + epi, rtol=1e-4, atol=1e-6
         )
-        eabs = np.mean(
-            [m["expected_abs_error"] for m in member_out], axis=0
-        ) + np.sqrt(2.0 / np.pi * dis)
+        # Variance-space combination: MADs don't add linearly for
+        # independent spread (the linear sum over-forecasts |err|).
+        eabs = np.sqrt(
+            np.mean([m["expected_abs_error"] for m in member_out], axis=0)
+            ** 2
+            + 2.0 / np.pi * dis
+        )
         np.testing.assert_allclose(
             out["expected_abs_error"], eabs, rtol=1e-4, atol=1e-6
         )

@@ -75,8 +75,22 @@ class InferenceEngine:
         ensemble: bool = False,
         ood_detector=None,
         ood_fpr: float = 0.01,
+        serving_channel: str = "eabs",
     ):
         self.model = model
+        # Which uncertainty channel deployment should read ("calibrated" →
+        # calibrated_uncertainty, "eabs" → expected_abs_error). Chosen by
+        # the trainer at checkpoint time via validation ECE (the learned
+        # layer is undertrained on short schedules — RESULTS_seeds.md);
+        # from_checkpoint restores the recorded choice. Default is the
+        # training-free closed-form channel, calibrated at every schedule
+        # length (RESULTS_nig_calibration.md).
+        if serving_channel not in ("calibrated", "eabs"):
+            raise ValueError(
+                f"serving_channel must be 'calibrated' or 'eabs', "
+                f"got {serving_channel!r}"
+            )
+        self.serving_channel = serving_channel
         # ood_detector: a fitted eval/ood.py:MahalanobisOOD. The Mahalanobis
         # score runs IN-GRAPH — same dispatch as the forward — on whatever
         # feature space the detector was fitted on (detector.space):
@@ -205,12 +219,16 @@ class InferenceEngine:
                 "aleatoric": aleatoric,
                 "epistemic": epistemic,
                 # Member-mean E|y-mu_m| understates the mixture's E|y-mu|
-                # when member means disagree; add the Gaussian-style
-                # disagreement correction in |error| units so the channel
-                # stays a usable error forecast under ensembling.
-                "expected_abs_error": jnp.mean(
-                    member["expected_abs_error"], axis=0
-                ) + jnp.sqrt(2.0 / jnp.pi * disagreement),
+                # when member means disagree. Combine the two spread sources
+                # in variance space (MADs don't add linearly for independent
+                # spread — the linear sum is a triangle-inequality upper
+                # bound that over-forecasts under disagreement): treat the
+                # member-mean eabs as a scale, add the disagreement variance
+                # scaled to |error| units, and take the root.
+                "expected_abs_error": jnp.sqrt(
+                    jnp.mean(member["expected_abs_error"], axis=0) ** 2
+                    + 2.0 / jnp.pi * disagreement
+                ),
                 "attention_weights": jnp.mean(
                     member["attention_weights"], axis=0
                 ),
@@ -249,6 +267,16 @@ class InferenceEngine:
             model, params = create_complete_deer_model(config, seed=0)
         ckpt = CheckpointManager(checkpoint_dir)
         restored = ckpt.restore_params(params, step=step)
+        if "serving_channel" not in kwargs:
+            # Serve the channel the trainer selected by validation ECE at
+            # checkpoint time (absent in pre-selection checkpoints → the
+            # training-free default).
+            try:
+                kwargs["serving_channel"] = ckpt.metadata(step=step)[
+                    "metrics"
+                ].get("serving_channel", "eabs")
+            except (OSError, KeyError, ValueError):
+                pass
         return cls(model, restored, **kwargs)
 
     def warmup(self):
