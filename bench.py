@@ -384,8 +384,10 @@ def main(quick: bool = False) -> int:
         f"mfu_fwd={fmt(mfu_fwd)} mfu_train={fmt(mfu_train)}{peak_note}"
         + (
             f" | roofline_fwd={fmt(rl_fwd)} roofline_train={fmt(rl_train)} "
-            f"vs the conservative per-op traffic bound (>100% = beats naive "
-            f"HBM accounting; intensity {fmt_ai(ai_fwd)}/{fmt_ai(ai_train)} "
+            f"vs XLA's per-op 'bytes accessed' bound, which over-counts true "
+            f"HBM traffic — >100% is an artifact of that accounting, not "
+            f"HBM-boundness (RESULTS_hbm.md: step is shape-bound; "
+            f"intensity {fmt_ai(ai_fwd)}/{fmt_ai(ai_train)} "
             f"FLOP/B, ridge {peak / hbm_bw:.0f})"
             if peak and hbm_bw
             else ""

@@ -46,6 +46,34 @@ def test_every_results_md_is_referenced_from_readme_or_docs():
     )
 
 
+def test_no_retired_claims_in_committed_artifacts():
+    """Self-consistency: once a study retires a claim, no committed artifact
+    may keep asserting it (VERDICT r4 weak #4). RESULTS_hbm.md retired the
+    'width-1 is HBM-bound' framing and RESULTS_f0.md's numbers now include
+    parabolic refinement — the phrases below are the retired assertions."""
+    retired = [
+        # RESULTS_hbm.md verdict: the width-1 step is shape-bound.
+        "the HBM ceiling — not MFU — is the relevant limit",
+        ">100% means the step beats the naive accounting",
+        ">100% = beats naive",
+        # RESULTS_f0.md: refinement landed; the old explanation is stale.
+        "(no parabolic refinement)",
+    ]
+    offenders = []
+    paths = (
+        _tracked("experiments/RESULTS_*.md")
+        + _tracked("docs/*.md")
+        + ["README.md", "bench.py"]
+    )
+    for path in paths:
+        with open(os.path.join(REPO, path)) as f:
+            text = f.read()
+        for phrase in retired:
+            if phrase in text:
+                offenders.append((path, phrase))
+    assert not offenders, f"retired claims still asserted: {offenders}"
+
+
 def test_every_experiment_json_is_anchored():
     tracked = set(_tracked("experiments/**"))
     # INDEX.md files anchor everything in their directory.
