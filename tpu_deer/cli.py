@@ -27,6 +27,35 @@ import numpy as np
 
 logger = logging.getLogger("tpu_deer.cli")
 
+# Named training recipes (config presets applied over the base YAML; a
+# sibling file `configs/uncertainty.yaml` carries the same values for
+# users who prefer a config file). "uncertainty" is the study-backed
+# playbook (experiments/RESULTS_nig_calibration.md + RESULTS_synthetic.md):
+# soft KL (0.01 — the 0.1 default inflates beta/nu at no CCC gain, raw
+# eabs ECE 0.129 vs 0.055), light dropout, full cosine horizon, and the
+# calibration-alignment weight the headline run trains the learned layer
+# with. Application order: YAML -> recipe -> --quick -> explicit flags
+# (so --quick still shrinks a recipe run and explicit flags always win).
+RECIPES = {
+    "uncertainty": {
+        "model": {"dropout": 0.05},
+        "training": {
+            "learning_rate": 1.2e-3,
+            "batch_size": 4096,
+            "num_epochs": 100,
+            "warmup_epochs": 5,
+            "scheduler": "cosine",
+            "kl_weight": 0.01,
+            "calibration_alignment_weight": 0.15,
+            "val_frequency": 10,
+            # patience counts validation events; the cosine schedule needs
+            # the full horizon (mid-schedule CCC wobble would cut it short)
+            "early_stopping_patience": 10**6,
+            "fused_epochs": True,  # one lax.scan dispatch per epoch
+        },
+    },
+}
+
 
 class MultimodalDEERPipeline:
     """Experiment orchestration (reference run_multimodal_deer.py:90-781)."""
@@ -39,6 +68,7 @@ class MultimodalDEERPipeline:
         overrides: Optional[dict] = None,
         quick: bool = False,
         resume: bool = False,
+        recipe: Optional[str] = None,
     ):
         from tpu_deer.utils.config import load_yaml_config, save_yaml_config
 
@@ -48,6 +78,14 @@ class MultimodalDEERPipeline:
         # checkpoint (params + opt state + step + RNG + best metric).
         self.resume = resume
         self.config = load_yaml_config(config_path)
+        if recipe is not None:
+            if recipe not in RECIPES:
+                raise ValueError(
+                    f"unknown recipe {recipe!r}; available: {sorted(RECIPES)}"
+                )
+            for section, values in RECIPES[recipe].items():
+                self.config.setdefault(section, {}).update(values)
+            self.config["recipe"] = recipe
         if quick:
             # Quick validation: small but LEARNABLE (the reference's quick
             # mode could never show learning — its synthetic labels were
@@ -57,6 +95,13 @@ class MultimodalDEERPipeline:
             self.config["training"]["learning_rate"] = 3e-3
             self.config["training"]["warmup_epochs"] = 1
             self.config["training"]["scheduler"] = "constant"
+            # Per-epoch scan compile outweighs dispatch savings at smoke
+            # sizes (CLAUDE.md) — undo a recipe's fused_epochs for --quick.
+            self.config["training"]["fused_epochs"] = False
+            # A recipe's sparse validation cadence (e.g. every 10 epochs)
+            # would never validate inside an 8-epoch smoke — best_val_ccc
+            # would report -inf. Quick always validates every epoch.
+            self.config["training"]["val_frequency"] = 1
         for key, value in (overrides or {}).items():
             section, _, name = key.partition(".")
             if name:
@@ -211,6 +256,11 @@ class MultimodalDEERPipeline:
             save_frequency=int(t.get("save_frequency", 10)),
             evidence_weight=float(t.get("evidence_weight", 1.0)),
             kl_weight=float(t.get("kl_weight", 0.1)),
+            loss_variant=str(t.get("loss_variant", "v2")),
+            calibration_alignment_weight=float(
+                t.get("calibration_alignment_weight", 0.05)
+            ),
+            fused_epochs=bool(t.get("fused_epochs", False)),
             aleatoric_moment_weight=float(t.get("aleatoric_moment_weight", 0.0)),
             grad_accum_steps=int(t.get("grad_accum_steps", 1)),
             param_sharding=t.get("param_sharding", "tp"),
@@ -438,6 +488,10 @@ class MultimodalDEERPipeline:
         summary = {
             "experiment_dir": self.experiment_dir,
             "best_val_ccc": train_results["best_val_ccc"],
+            # Which uncertainty channel the best checkpoint should serve
+            # ("calibrated" | "eabs"), chosen by validation ECE at
+            # checkpoint time (docs/UNCERTAINTY.md "Channel selection").
+            "serving_channel": train_results.get("serving_channel", "eabs"),
             "test_results": eval_results,
             "text_backend": getattr(self, "text_backends", {}),
             "plots": plots,
@@ -663,6 +717,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--quick", action="store_true",
                    help="8 epochs, batch size 32, lr 3e-3, small learnable "
                         "synthetic data (fast validation that shows learning)")
+    p.add_argument("--recipe", choices=sorted(RECIPES), default=None,
+                   help="named config preset applied over the base config "
+                        "(explicit flags still win). 'uncertainty' = the "
+                        "study-backed uncertainty playbook: kl_weight 0.01, "
+                        "dropout 0.05, full cosine horizon, calibration "
+                        "alignment 0.15 — the headline-run recipe "
+                        "(RESULTS_nig_calibration.md / docs/UNCERTAINTY.md); "
+                        "same values as configs/uncertainty.yaml")
     p.add_argument("--raw", action="store_true",
                    help="raw-media end-to-end training: waveforms + frame "
                         "arrays + transcripts through RawSequenceDEERModel "
@@ -764,6 +826,7 @@ def main(argv=None) -> int:
         overrides=overrides,
         quick=args.quick,
         resume=args.resume,
+        recipe=args.recipe,
     )
 
     if args.mode == "full":
@@ -799,6 +862,7 @@ def main(argv=None) -> int:
         # equivalent (its deployment story is "import torch and the repo").
         pipeline.create_model()
         params = pipeline.params
+        serving_channel = "eabs"
         if args.model_path:
             from tpu_deer.train.checkpoint import CheckpointManager
 
@@ -809,6 +873,14 @@ def main(argv=None) -> int:
                 else None
             )
             params = ckpt.restore_params(params, step=step)
+            # Bake the trainer's checkpoint-time channel selection into
+            # the artifact (pre-selection checkpoints → the free channel).
+            try:
+                serving_channel = ckpt.metadata(step=step)["metrics"].get(
+                    "serving_channel", "eabs"
+                )
+            except (OSError, KeyError, ValueError):
+                pass
         from tpu_deer.export import export_inference
 
         ood_det = None
@@ -821,12 +893,13 @@ def main(argv=None) -> int:
             pipeline.model, params, out_dir, quantize=args.int8,
             ensemble=getattr(pipeline, "ensemble_members", 1) > 1,
             ood_detector=ood_det, ood_fpr=args.ood_fpr,
+            serving_channel=serving_channel,
         )
         print(json.dumps(
             {"export_dir": out_dir,
              **{k: manifest[k]
                 for k in ("buckets", "platforms", "n_params", "quantized",
-                          "ensemble_members")}},
+                          "ensemble_members", "serving_channel")}},
             indent=2,
         ))
     return 0
