@@ -52,6 +52,22 @@ class TestExport:
             got["calibrated_uncertainty"],
             np.asarray(ref["calibrated_uncertainty"]), atol=1e-6,
         )
+        # The closed-form E|err| channel is part of the artifact (computed
+        # in-graph from the NIG params) and the manifest records which
+        # channel deployment should read.
+        from tpu_deer.core.nig import nig_expected_abs_error
+
+        eabs_ref = np.concatenate(
+            [
+                np.asarray(nig_expected_abs_error(ref[f"{n}_params"]))
+                for n in model.config.dim_names
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            got["expected_abs_error"], eabs_ref, rtol=1e-5, atol=1e-5
+        )
+        assert engine.serving_channel == "eabs"
 
     def test_padding_and_chunking(self, artifact_dir):
         out, model, params, _ = artifact_dir

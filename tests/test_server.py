@@ -59,6 +59,15 @@ class TestServer:
         assert np.asarray(out["mu"]).shape == (3, 3)
         assert np.all(np.isfinite(np.asarray(out["calibrated_uncertainty"])))
         assert service.requests_served >= 1
+        # Responses name the checkpoint-selected channel and alias it so
+        # clients need no mapping logic.
+        assert out["serving_channel"] in ("calibrated", "eabs")
+        alias = (
+            "calibrated_uncertainty"
+            if out["serving_channel"] == "calibrated"
+            else "expected_abs_error"
+        )
+        assert out["deployable_uncertainty"] == out[alias]
 
     def test_single_sample_1d(self, running_server):
         url, _ = running_server

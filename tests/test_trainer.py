@@ -257,6 +257,65 @@ class TestTraining:
         ))
         np.testing.assert_allclose(out["eabs"], np.asarray(expect), rtol=1e-4)
 
+    def test_serving_channel_selected_by_validation_ece(self):
+        """The trainer must pick the channel with the LOWER validation ECE
+        (tie → the training-free eabs channel) and report it in both
+        validate_epoch and train() results — the VERDICT r4 weak-#2 fix:
+        an undertrained calibration layer can no longer reach deployment."""
+        train, val = _datasets()
+        trainer, _ = _trainer(num_epochs=2)
+        results = trainer.train(train, val)
+        it = {
+            "synthetic": BatchIterator(
+                val["synthetic"], 64, shuffle=False
+            )
+        }
+        metrics = trainer.validate_epoch(it)
+        assert set(("ece_calibrated", "ece_eabs", "serving_channel")) <= set(
+            metrics
+        )
+        expect = (
+            "calibrated"
+            if metrics["ece_calibrated"] < metrics["ece_eabs"]
+            else "eabs"
+        )
+        assert metrics["serving_channel"] == expect
+        assert results["serving_channel"] in ("calibrated", "eabs")
+
+    def test_shipped_channel_never_loses_on_validation(self):
+        """The pin for VERDICT r4 weak #2: whatever the schedule length (here
+        a deliberately short one where the calibration layer is
+        undertrained), the channel train() reports for serving must be the
+        validation-ECE winner at the best-CCC epoch — the shipped channel
+        can never lose to the free closed-form one by more than a tie."""
+        captured = []
+
+        class _Capture:
+            def scalar(self, *a, **k):
+                pass
+
+            def scalars(self, metrics, step, prefix=""):
+                if prefix == "val/":
+                    captured.append(dict(metrics))
+
+        train, val = _datasets()
+        trainer, _ = _trainer(num_epochs=3)
+        results = trainer.train(train, val, logger=_Capture())
+        best = max(captured, key=lambda m: m["ccc_average"])
+        assert results["serving_channel"] == best["serving_channel"]
+        shipped_ece = best[f"ece_{best['serving_channel']}"]
+        assert shipped_ece <= min(best["ece_calibrated"], best["ece_eabs"])
+
+    def test_predict_rejects_fused_plus_nig(self):
+        """Both flags at once would silently drop the NIG keys (each flag
+        selects its own jitted eval step) — must refuse loudly."""
+        trainer, _ = _trainer(num_epochs=1)
+        train, val = _datasets()
+        with pytest.raises(ValueError, match="return_fused"):
+            trainer.predict(
+                val["synthetic"], return_fused=True, return_nig=True
+            )
+
     def test_early_stopping(self):
         train, val = _datasets()
         trainer, _ = _trainer(num_epochs=40, early_stopping_patience=2,

@@ -34,7 +34,9 @@ PARAMS_FILE = "params.npz"
 
 # Outputs of the exported forward, in calling-convention order (the
 # serialized executable returns a tuple; names are restored from here).
-OUTPUT_NAMES = ("mu", "uncertainty", "calibrated_uncertainty")
+OUTPUT_NAMES = (
+    "mu", "uncertainty", "calibrated_uncertainty", "expected_abs_error"
+)
 
 
 def _flatten_params(params) -> dict[str, np.ndarray]:
@@ -69,8 +71,14 @@ def export_inference(
     ensemble: bool = False,
     ood_detector=None,
     ood_fpr: float = 0.01,
+    serving_channel: str = "eabs",
 ) -> dict:
     """Export the deterministic forward for each batch bucket.
+
+    `serving_channel` ("calibrated" | "eabs") records in the manifest which
+    uncertainty channel deployment should read — pass the trainer's
+    checkpoint-time selection (the CLI's export mode does this from the
+    checkpoint metadata). The exported program always emits both channels.
 
     Returns the manifest dict. `platforms=None` lowers for the current
     backend only; pass e.g. ("cpu", "tpu") for a portable artifact.
@@ -85,7 +93,7 @@ def export_inference(
     are the moment-matched combination — combined uncertainty =
     mean(member uncertainty) + var(member mu), identical to what
     EnsembleTrainer evaluates — so the artifact keeps the standard
-    3-output calling convention.
+    OUTPUT_NAMES calling convention.
 
     `ood_detector` (a fitted eval/ood.py:MahalanobisOOD in "input_norm"
     space) bakes the OOD guardrail into the artifact: the exported program
@@ -104,22 +112,36 @@ def export_inference(
             f"space={ood_detector.space!r} (fused-space detectors are for "
             "representation monitoring, not exported serving)"
         )
+    if serving_channel not in ("calibrated", "eabs"):
+        raise ValueError(
+            f"serving_channel must be 'calibrated' or 'eabs', "
+            f"got {serving_channel!r}"
+        )
     os.makedirs(output_dir, exist_ok=True)
     cfg = model.config
 
     def base(params, audio, video, text):
+        from tpu_deer.core.nig import nig_expected_abs_error
+
         out = model.apply(
             {"params": params}, audio, video, text, deterministic=True
         )
-        return tuple(
-            out[k]
-            for k in ("mu_all", "uncertainty_all", "calibrated_uncertainty")
+        eabs = jnp.concatenate(
+            [
+                nig_expected_abs_error(out[f"{n}_params"])
+                for n in cfg.dim_names
+            ],
+            axis=-1,
+        )
+        return (
+            out["mu_all"], out["uncertainty_all"],
+            out["calibrated_uncertainty"], eabs,
         )
 
     if ensemble:
 
         def combined(params, audio, video, text):
-            m_mu, m_unc, m_cal = jax.vmap(
+            m_mu, m_unc, m_cal, m_eabs = jax.vmap(
                 lambda p: base(p, audio, video, text)
             )(params)
             disagreement = jnp.var(m_mu, axis=0)
@@ -127,6 +149,12 @@ def export_inference(
                 jnp.mean(m_mu, axis=0),
                 jnp.mean(m_unc, axis=0) + disagreement,
                 jnp.mean(m_cal, axis=0) + disagreement,
+                # Variance-space combination (MADs don't add linearly) —
+                # same formula as serve.py / train/ensemble.py.
+                jnp.sqrt(
+                    jnp.mean(m_eabs, axis=0) ** 2
+                    + 2.0 / jnp.pi * disagreement
+                ),
             )
 
     else:
@@ -215,6 +243,7 @@ def export_inference(
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "artifacts": artifacts,
         "quantized": bool(quantize),
+        "serving_channel": serving_channel,
         "ensemble_members": (
             int(jax.tree_util.tree_leaves(param_tree)[0].shape[0])
             if ensemble else 1
@@ -257,6 +286,9 @@ class ExportedEngine:
             else tree
         )
         self.buckets = self.manifest["buckets"]
+        # Channel deployment should read, as recorded at export time
+        # (pre-selection artifacts default to the training-free channel).
+        self.serving_channel = self.manifest.get("serving_channel", "eabs")
         self._fns = {}
         for b, name in self.manifest["artifacts"].items():
             with open(os.path.join(output_dir, name), "rb") as f:

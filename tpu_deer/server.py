@@ -640,6 +640,17 @@ class PredictionService:
             if k in ("mu", "uncertainty", "calibrated_uncertainty",
                      "expected_abs_error", "ood_score", "is_ood")
         }
+        # Which channel deployment should read, as selected by the trainer
+        # at checkpoint time (validation ECE); "deployable_uncertainty"
+        # aliases that channel so clients need no mapping logic.
+        channel = getattr(self.engine, "serving_channel", "eabs")
+        resp["serving_channel"] = channel
+        alias = (
+            "calibrated_uncertainty" if channel == "calibrated"
+            else "expected_abs_error"
+        )
+        if alias in resp:
+            resp["deployable_uncertainty"] = resp[alias]
         return self.attach_intervals(resp)
 
     def attach_intervals(self, resp: dict) -> dict:

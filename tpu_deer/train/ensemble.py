@@ -186,6 +186,13 @@ class EnsembleTrainer(DEERTrainer):
             "calibrated_uncertainty": (
                 jnp.mean(member["calibrated_uncertainty"], axis=0) + disagreement
             ),
+            # Variance-space combination of the member E|err| forecasts with
+            # the disagreement scaled to |error| units (MADs don't add
+            # linearly for independent spread — same formula as serve.py).
+            "eabs": jnp.sqrt(
+                jnp.mean(member["eabs"], axis=0) ** 2
+                + 2.0 / jnp.pi * disagreement
+            ),
             "loss": jnp.mean(member["loss"]),
         }
 
