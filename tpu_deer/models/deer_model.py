@@ -58,6 +58,11 @@ class DEERModelConfig:
     # "attention" | "bilinear" | "adaptive" | "moe" | concat fallback).
     fusion_type: str = "hierarchical"
     moe_experts: int = 4  # experts when fusion_type == "moe"
+    # Batched-GEMM layout for the three modality encoders + three DEER
+    # heads (models/stacked.py): identical math, [3, ...]-stacked params,
+    # 3x the work per MXU dispatch. Opt-in: the parameter tree differs
+    # from the default layout (convert with models/stacked.py:stack_params).
+    stacked_compute: bool = False
 
     @property
     def dtype(self):
@@ -77,12 +82,20 @@ class CompleteDEERModel(nn.Module):
         video = video.astype(dt)
         text = text.astype(dt)
 
-        enc = lambda name: ModalityEncoder(
-            cfg.encoder_dim, cfg.encoder_layers, cfg.dropout, dt, name=name
-        )
-        a = enc("audio_encoder")(audio, deterministic=deterministic)
-        v = enc("video_encoder")(video, deterministic=deterministic)
-        t = enc("text_encoder")(text, deterministic=deterministic)
+        if cfg.stacked_compute:
+            from tpu_deer.models.stacked import StackedModalityEncoders
+
+            a, v, t = StackedModalityEncoders(
+                cfg.encoder_dim, cfg.encoder_layers, cfg.dropout, dt,
+                name="stacked_encoders",
+            )(audio, video, text, deterministic=deterministic)
+        else:
+            enc = lambda name: ModalityEncoder(
+                cfg.encoder_dim, cfg.encoder_layers, cfg.dropout, dt, name=name
+            )
+            a = enc("audio_encoder")(audio, deterministic=deterministic)
+            v = enc("video_encoder")(video, deterministic=deterministic)
+            t = enc("text_encoder")(text, deterministic=deterministic)
 
         attended = UncertaintyAwareAttention(
             cfg.encoder_dim, cfg.attention_heads, dropout=0.1, dtype=dt,
@@ -119,19 +132,47 @@ class CompleteDEERModel(nn.Module):
             "fused_features": fused,
         }
         mus, uncs = [], []
-        for name in cfg.dim_names:
-            head = DEERPredictionHead(
+        if cfg.stacked_compute:
+            from tpu_deer.core.nig import (
+                nig_params_from_evidence,
+                nig_uncertainties,
+            )
+            from tpu_deer.models.stacked import StackedEvidenceHeads
+
+            evidence = StackedEvidenceHeads(
                 cfg.encoder_dim, cfg.dropout, output_dim=1, dtype=dt,
-                name=f"deer_head_{name}",
-            )(fused, deterministic=deterministic)
-            out[f"{name}_params"] = head["params"]
-            for k in (
-                "mu", "nu", "alpha", "beta",
-                "aleatoric_uncertainty", "epistemic_uncertainty", "uncertainty",
-            ):
-                out[f"{name}_{k}"] = head[k]
-            mus.append(head["mu"])
-            uncs.append(head["uncertainty"])
+                n_heads=len(cfg.dim_names), name="stacked_heads",
+            )(fused, deterministic=deterministic)  # [3, B, 4]
+            for i, name in enumerate(cfg.dim_names):
+                # Same float32 NIG constraint math as DEERPredictionHead.
+                ev = evidence[i].astype(jnp.float32)
+                ev = ev.reshape(ev.shape[:-1] + (1, 4))
+                p = nig_params_from_evidence(ev)
+                unc = nig_uncertainties(p)
+                out[f"{name}_params"] = p
+                out[f"{name}_mu"] = p.mu
+                out[f"{name}_nu"] = p.nu
+                out[f"{name}_alpha"] = p.alpha
+                out[f"{name}_beta"] = p.beta
+                out[f"{name}_aleatoric_uncertainty"] = unc["aleatoric"]
+                out[f"{name}_epistemic_uncertainty"] = unc["epistemic"]
+                out[f"{name}_uncertainty"] = unc["total"]
+                mus.append(p.mu)
+                uncs.append(unc["total"])
+        else:
+            for name in cfg.dim_names:
+                head = DEERPredictionHead(
+                    cfg.encoder_dim, cfg.dropout, output_dim=1, dtype=dt,
+                    name=f"deer_head_{name}",
+                )(fused, deterministic=deterministic)
+                out[f"{name}_params"] = head["params"]
+                for k in (
+                    "mu", "nu", "alpha", "beta",
+                    "aleatoric_uncertainty", "epistemic_uncertainty", "uncertainty",
+                ):
+                    out[f"{name}_{k}"] = head[k]
+                mus.append(head["mu"])
+                uncs.append(head["uncertainty"])
 
         out["mu_all"] = jnp.concatenate(mus, axis=-1)
         out["uncertainty_all"] = jnp.concatenate(uncs, axis=-1)
