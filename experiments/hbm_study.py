@@ -147,8 +147,12 @@ def measure_matmul_ceiling(batch: int, dtype_name: str, k_iters: int) -> dict:
     }
 
 
-def measure_train_step(batch: int, storage_dtype: str, iters: int) -> dict:
-    """The real flagship train step via the trainer profile harness."""
+def measure_train_step(batch: int, storage_dtype: str, iters: int,
+                       stacked: bool = False) -> dict:
+    """The real flagship train step via the trainer profile harness.
+
+    stacked=True uses the batched-GEMM layout (models/stacked.py) —
+    identical math, stacked parameter leaves."""
     import jax
     import jax.numpy as jnp
 
@@ -168,7 +172,8 @@ def measure_train_step(batch: int, storage_dtype: str, iters: int) -> dict:
 
     platform = jax.devices()[0].platform
     config = DEERModelConfig(
-        compute_dtype="bfloat16" if platform != "cpu" else "float32"
+        compute_dtype="bfloat16" if platform != "cpu" else "float32",
+        stacked_compute=stacked,
     )
     model, params = create_complete_deer_model(config, seed=0)
     splits = make_synthetic_splits(
@@ -197,6 +202,7 @@ def measure_train_step(batch: int, storage_dtype: str, iters: int) -> dict:
     n_params = count_parameters(params)
     return {
         "storage_dtype": storage_dtype,
+        "stacked": stacked,
         "batch": batch,
         "params": n_params,
         "step_ms": stats["step_ms_mean"],
@@ -347,13 +353,24 @@ def main() -> int:
             "width-256 contractions cannot fill a 128×128-tile MXU pipeline "
             "regardless of framework."
         )
-    d_ms = steps[0]["step_ms"] - steps[1]["step_ms"]
+    d_ms = steps[1]["step_ms"] - steps[0]["step_ms"]
     lines.append(
         f"- bf16 storage moves the step by {d_ms:+.2f} ms "
         f"({steps[0]['step_ms']:.2f} → {steps[1]['step_ms']:.2f}): "
         "params/grads/moments are "
         f"{'a real share of' if abs(d_ms) > 0.05 * step_ms else 'a negligible share of'} "
         "the step's traffic at this batch size."
+    )
+    lines.append(
+        "- Note on the round-4 anomaly: an earlier run of this harness "
+        "recorded bf16 storage at 19.12 ms (2.7x slower than f32) and "
+        "shipped it as a bare table row. The stage-by-stage bisect "
+        "(`experiments/RESULTS_bf16_diag.md` — fwd / grad / sgd / "
+        "clip+sgd / adamw / adamw-with-f32-optimizer, each timed under "
+        "both storage dtypes) shows ≤4% deltas at every stage, and the "
+        "rerun of this exact harness reproduces ~±4%. The 2.7x row was a "
+        "measurement artifact (tunnel hiccup / unamortized remote "
+        "recompile during that run), not a code pathology — retired."
     )
     lines += [
         "",

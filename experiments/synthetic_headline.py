@@ -79,6 +79,11 @@ def main(argv=None) -> int:
     # term was inflating beta/nu jointly (alpha->1 pull) at no metric gain.
     p.add_argument("--kl_weight", type=float, default=0.01)
     p.add_argument("--calibration_weight", type=float, default=0.15)
+    # Replication seed (VERDICT r4 task 7: put a CI on the headline claim).
+    # seed 0 reproduces the committed run exactly (data seed 42, init seed
+    # 0); seed k draws fresh data AND fresh init. Non-zero seeds suffix the
+    # output stem so replicas never clobber the canonical artifact.
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="experiments/RESULTS_synthetic")
     p.add_argument(
         "--figures", default=None, metavar="DIR",
@@ -125,11 +130,14 @@ def main(argv=None) -> int:
     )
     from tpu_deer.train.trainer import DEERTrainer, TrainingConfig
 
+    if args.seed and args.out == "experiments/RESULTS_synthetic":
+        args.out += f"_seed{args.seed}"
+
     platform = jax.devices()[0].platform
     splits = make_synthetic_splits(
         SyntheticConfig(
             n_train=args.n_train, n_val=args.n_train // 8,
-            n_test=args.n_train // 8,
+            n_test=args.n_train // 8, seed=42 + args.seed,
         )
     )
     train_ds = ArrayDataset(splits["train"], "synthetic")
@@ -140,7 +148,7 @@ def main(argv=None) -> int:
         dropout=args.dropout,
         compute_dtype="bfloat16" if platform == "tpu" else "float32",
     )
-    model, params = create_complete_deer_model(config, seed=0)
+    model, params = create_complete_deer_model(config, seed=args.seed)
     n_params = count_parameters(params)
 
     steps = len(train_ds) // args.batch_size
@@ -230,6 +238,7 @@ def main(argv=None) -> int:
 
     payload = {
         "platform": platform,
+        "seed": args.seed,
         "n_params": n_params,
         "epochs_run": results["epochs_run"],
         "train_time_s": train_time,
