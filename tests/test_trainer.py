@@ -409,6 +409,72 @@ class TestSpikeBackoff:
         assert trainer._spike_scale == pytest.approx(cfg.spike_backoff_factor)
         assert not trainer._spike_update(3.0, nonfinite_frac=0.0)
 
+    def test_spike_rollback_restores_best_state(self):
+        """A large-but-FINITE bad update escapes the non-finite containment
+        and permanently collapses the run (observed: headline seed 2, one
+        fused-epoch step took val CCC 0.966 → 0.460 forever). With
+        spike_rollback the detector's firing restores the best-validation
+        snapshot instead of training onward from wreckage."""
+        import jax
+
+        train, val = _datasets()
+        trainer, _ = _trainer(num_epochs=8, val_frequency=1)
+        orig_train_epoch = trainer.train_epoch
+
+        def sabotage(iters, epoch):
+            metrics = orig_train_epoch(iters, epoch)
+            if epoch == 5:
+                # A finite catastrophic update: constant params (kills all
+                # signal; LayerNorms can't renormalize it away).
+                trainer.state = trainer.state.replace(
+                    params=jax.tree_util.tree_map(
+                        lambda p: jax.numpy.full_like(p, 0.3),
+                        trainer.state.params,
+                    )
+                )
+                metrics = dict(metrics, loss=1e6)
+            return metrics
+
+        trainer.train_epoch = sabotage
+        results = trainer.train(train, val)
+        # The run recovers: final best is from healthy epochs, and the live
+        # state's validation matches the pre-spike trajectory, not the
+        # constant-params wreck.
+        it = {"synthetic": BatchIterator(val["synthetic"], 64, shuffle=False)}
+        final = trainer.validate_epoch(it)
+        assert final["ccc_average"] > 0.8 * results["best_val_ccc"]
+        assert results["best_val_ccc"] > 0.25
+
+    def test_spike_rollback_disabled_keeps_wreckage(self):
+        """Control for the rollback test: with spike_rollback=False the
+        same sabotage leaves the collapsed params in place."""
+        import jax
+
+        train, val = _datasets()
+        trainer, _ = _trainer(
+            num_epochs=8, val_frequency=1, spike_rollback=False,
+            learning_rate=1e-4,  # too small to retrain out of the wreck
+        )
+        orig_train_epoch = trainer.train_epoch
+
+        def sabotage(iters, epoch):
+            metrics = orig_train_epoch(iters, epoch)
+            if epoch == 5:
+                trainer.state = trainer.state.replace(
+                    params=jax.tree_util.tree_map(
+                        lambda p: jax.numpy.full_like(p, 0.3),
+                        trainer.state.params,
+                    )
+                )
+                metrics = dict(metrics, loss=1e6)
+            return metrics
+
+        trainer.train_epoch = sabotage
+        trainer.train(train, val)
+        it = {"synthetic": BatchIterator(val["synthetic"], 64, shuffle=False)}
+        final = trainer.validate_epoch(it)
+        assert final["ccc_average"] < 0.2
+
     def test_negative_losses_supported(self):
         """The DEER NLL can go negative; median+MAD must not misfire there."""
         trainer, _ = _trainer()

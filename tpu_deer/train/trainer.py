@@ -115,6 +115,17 @@ class TrainingConfig:
     spike_backoff_factor: float = 0.5
     spike_window: int = 8
     spike_recovery: float = 1.2
+    # Rollback on spike: restore the last best-validation snapshot of the
+    # FULL train state (params + opt state + step + rng) when a spike is
+    # detected, then continue at the backed-off lr. Backoff alone only
+    # shrinks FUTURE updates — the spike's damage is already in the params,
+    # and a large-but-finite bad update (which the non-finite containment
+    # cannot see) can permanently collapse the run: observed on headline
+    # replication seed 2, where one fused-epoch step took val CCC 0.966 →
+    # 0.460 with no recovery. Costs one device-resident copy of the train
+    # state, refreshed at best-validation events (~4x param bytes; at
+    # width-8/234M that is ~3.7 GB — disable there if HBM-tight).
+    spike_rollback: bool = True
     # PRNG implementation for dropout bits. "rbg" uses the TPU's
     # hardware-backed generator; threefry2x32 is ALU-heavy and, measured at
     # batch 16384, costs ~3 ms in the forward AND is rematerialized in the
@@ -311,6 +322,14 @@ class DEERTrainer:
             )
         )
         self._mc_step = None  # built lazily by predict_mc_dropout
+        # Spike rollback (TrainingConfig.spike_rollback): device-resident
+        # snapshot of the best-validation train state. Must be an explicit
+        # COPY — the train step donates its input buffers, so holding a
+        # reference to a past state would point at deleted memory.
+        self._best_state = None
+        self._copy_state = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        )
         # Device-resident data: datasets are staged in HBM once and batches
         # are gathered ON DEVICE from a tiny [B] int32 index vector — the
         # host→device path carries indices, not features. (Single-device
@@ -931,6 +950,14 @@ class DEERTrainer:
                 train_metrics.get("loss"),
                 nonfinite_frac=train_metrics.get("nonfinite_skipped", 0.0),
             )
+            if spiked and cfg.spike_rollback and self._best_state is not None:
+                # Restore the best-validation snapshot (copy again — the
+                # restored buffers will be donated by the next step) and
+                # continue at the backed-off lr. Backoff alone leaves the
+                # spike's damage in the params.
+                self.state = self._copy_state(self._best_state)
+                if logger:
+                    logger.scalar("train/spike_rollback", 1.0, epoch)
             # state.step counts micro-steps; the schedule counts updates.
             lr = (
                 float(self.schedule(int(self.state.step) // self._accum))
@@ -960,6 +987,8 @@ class DEERTrainer:
                     best_ccc = val["ccc_average"]
                     best_serving_channel = val["serving_channel"]
                     patience = 0
+                    if cfg.spike_backoff and cfg.spike_rollback:
+                        self._best_state = self._copy_state(self.state)
                 else:
                     patience += 1
 
