@@ -102,6 +102,21 @@ def main() -> int:
         )
     md += [
         "",
+        "## What replication bought (beyond the CI)",
+        "",
+        "Seed 2's FIRST run exposed a seed-dependent training instability: "
+        "one finite catastrophic update inside fused epoch 65 (train loss "
+        "-1.21 → +0.80) took val CCC 0.966 → 0.460 permanently — the "
+        "non-finite containment never fires on finite damage, and lr "
+        "backoff only shrinks FUTURE updates. The fix is "
+        "`TrainingConfig.spike_rollback` (on by default): the spike "
+        "detector's firing now restores the best-validation train-state "
+        "snapshot. Rerun with rollback, the SAME spike fires at the same "
+        "epoch (deterministic), the state rolls back, and the run finishes "
+        "at CCC 0.966 — the seed-2 row above. Pinned by "
+        "`tests/test_trainer.py::TestSpikeBackoff` (rollback + "
+        "disabled-control pair).",
+        "",
         "Per-run JSONs: " + ", ".join(f"`{r['source']}`" for r in runs) + ".",
         "",
         "Reproduce: `python experiments/synthetic_headline.py --seed K` per "
