@@ -178,6 +178,42 @@ class TestEnsemblePrediction:
             out["uncertainty"], alea + epis, rtol=1e-4, atol=1e-6
         )
 
+    def test_eabs_combined_in_variance_space(self):
+        """The combined E|err| forecast = sqrt(mean_eabs^2 +
+        (2/pi)*disagreement) — MADs don't add linearly (same formula as
+        serve.py's ensemble engine)."""
+        model, stacked = create_deer_ensemble(SMALL, n_members=3, seed=1)
+        tr = EnsembleTrainer(model, stacked, _tcfg(), steps_per_epoch=4)
+        splits = _splits(n_train=128, n_val=64)
+        test = ArrayDataset(splits["test"], "synthetic")
+        out = tr.predict(test, batch_size=64)
+        member_mu, member_eabs = [], []
+        for k in range(3):
+            s_tr = DEERTrainer(
+                model, tr.member_params(k), _tcfg(), steps_per_epoch=4
+            )
+            m_out = s_tr.predict(test, batch_size=64)
+            member_mu.append(m_out["mu"])
+            member_eabs.append(m_out["eabs"])
+        expect = np.sqrt(
+            np.mean(member_eabs, axis=0) ** 2
+            + 2.0 / np.pi * np.var(member_mu, axis=0)
+        )
+        np.testing.assert_allclose(out["eabs"], expect, rtol=1e-4, atol=1e-6)
+
+    def test_nig_and_fused_variants_refused_loudly(self):
+        """return_nig/return_fused over a stacked ensemble must refuse with
+        a pointed message, not the inherited jitted variants' TypeError."""
+        import pytest
+
+        model, stacked = create_deer_ensemble(SMALL, n_members=2, seed=0)
+        tr = EnsembleTrainer(model, stacked, _tcfg(), steps_per_epoch=4)
+        test = ArrayDataset(_splits(n_train=64, n_val=32)["test"], "synthetic")
+        with pytest.raises(NotImplementedError, match="mixture of K NIG"):
+            tr.predict(test, return_nig=True)
+        with pytest.raises(NotImplementedError, match="per-member"):
+            tr.predict(test, return_fused=True)
+
     def test_training_improves_ccc(self):
         from tpu_deer.core import metrics as M
 

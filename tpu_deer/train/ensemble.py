@@ -196,6 +196,33 @@ class EnsembleTrainer(DEERTrainer):
             "loss": jnp.mean(member["loss"]),
         }
 
+    def predict(self, dataset, batch_size=None, use_ema=False,
+                return_fused=False, return_nig=False):
+        """Combined-ensemble prediction (moment matching; includes the
+        variance-space `eabs` channel). The raw-NIG and fused-feature
+        variants are member-level concepts — refuse them loudly instead of
+        the opaque TypeError the inherited jitted variants would raise."""
+        if return_nig:
+            raise NotImplementedError(
+                "return_nig over a stacked ensemble is not defined — a "
+                "mixture of K NIG posteriors is not NIG, so there are no "
+                "combined (nu, alpha, beta) to return. Inspect one member "
+                "via DEERTrainer(model, ensemble_trainer.member_params(k), "
+                "...) .predict(return_nig=True); the combined closed-form "
+                "E|err| channel is already in predict()'s 'eabs' key."
+            )
+        if return_fused:
+            raise NotImplementedError(
+                "return_fused over a stacked ensemble is ambiguous (fused "
+                "features are per-member). Fit feature-space detectors on "
+                "a single member (member_params(k)) or serve through "
+                "serve.InferenceEngine(ensemble=True), which exposes the "
+                "member-mean fused representation for OOD fitting."
+            )
+        return super().predict(
+            dataset, batch_size=batch_size, use_ema=use_ema
+        )
+
     def predict_mc_dropout(self, *args, **kwargs):
         raise NotImplementedError(
             "MC dropout over a stacked ensemble is not supported — the "
