@@ -415,6 +415,14 @@ class TestStreamingSessions:
                          {"session_id": sid, "audio": chunk.tolist()})
         assert np.asarray(out["mu"]).shape == (3,)
         assert np.all(np.isfinite(out["mu"]))
+        # Tick responses mirror /predict's channel contract.
+        assert out["serving_channel"] in ("calibrated", "eabs")
+        alias = (
+            "calibrated_uncertainty"
+            if out["serving_channel"] == "calibrated"
+            else "expected_abs_error"
+        )
+        assert out["deployable_uncertainty"] == out[alias]
 
         # pcm16 push
         pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()

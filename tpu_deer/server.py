@@ -297,9 +297,13 @@ class StreamingSessionService:
                  stream_cfg=None, max_wait_ms: float = 10.0,
                  start: bool = True, warmup: bool = True,
                  push_timeout_s: float = 600.0,
-                 ood_detector=None, ood_fpr: float = 0.01):
+                 ood_detector=None, ood_fpr: float = 0.01,
+                 serving_channel: str = "eabs"):
         from tpu_deer.stream import StreamingConfig, StreamingRecognizer
 
+        # Checkpoint-selected uncertainty channel, mirrored into every
+        # tick response (same contract as /predict).
+        self.serving_channel = serving_channel
         self.cfg = stream_cfg or StreamingConfig()
         self.rec = StreamingRecognizer(
             model, params, n_streams=n_streams, cfg=self.cfg,
@@ -493,9 +497,16 @@ class StreamingSessionService:
                 thr = self.rec.ood_threshold
                 if thr is not None:
                     keys.append("ood_score")
+                alias = (
+                    "calibrated_uncertainty"
+                    if self.serving_channel == "calibrated"
+                    else "expected_abs_error"
+                )
                 for sid, (_, _, _, fut) in batch.items():
                     slot = slot_of[sid]
                     resp = {k: out[k][slot].tolist() for k in keys}
+                    resp["serving_channel"] = self.serving_channel
+                    resp["deployable_uncertainty"] = resp[alias]
                     if thr is not None:
                         resp["is_ood"] = bool(out["ood_score"][slot] > thr)
                     fut.set_result(resp)
@@ -590,6 +601,7 @@ class PredictionService:
                 engine.model, params, n_streams=stream_slots,
                 ood_detector=kwargs.get("ood_detector"),
                 ood_fpr=kwargs.get("ood_fpr", 0.01),
+                serving_channel=engine.serving_channel,
             )
         return cls(
             engine,
