@@ -435,6 +435,8 @@ class MultimodalDEERPipeline:
             f"- epochs run: {train_results.get('epochs_run')}",
             f"- training time: {train_results.get('training_time_s', 0):.1f}s",
             f"- best val CCC: {train_results.get('best_val_ccc', float('nan')):.4f}",
+            "- serving channel (selected by validation ECE): "
+            f"{train_results.get('serving_channel', 'eabs')}",
             "- text backend: "
             + (", ".join(
                 f"{k}={v}" for k, v in getattr(self, "text_backends", {}).items()

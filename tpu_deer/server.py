@@ -7,11 +7,15 @@ standard library:
 
   POST /predict   {"audio": [[..84..]], "video": [[..256..]], "text": [[..768..]]}
                   -> {"mu": [[v,a,d]..], "uncertainty": ..,
-                      "calibrated_uncertainty": ..}
-                  (+ interval_lower/interval_upper/interval_alpha when the
-                   server is started with --conformal <quantile json> — split
-                   conformal intervals with 1-alpha marginal coverage, widths
-                   scaled per sample by the NIG uncertainty)
+                      "calibrated_uncertainty": .., "expected_abs_error": ..,
+                      "serving_channel": "calibrated"|"eabs",
+                      "deployable_uncertainty": ..}
+                  (serving_channel = the channel the trainer selected by
+                   validation ECE at checkpoint time; deployable_uncertainty
+                   aliases it. + interval_lower/interval_upper/interval_alpha
+                   when the server is started with --conformal <quantile
+                   json> — split conformal intervals with 1-alpha marginal
+                   coverage, widths scaled per sample by the NIG uncertainty)
   GET  /healthz   -> {"status": "ok", "requests_served": N}
 
 With `--stream_slots N` (checkpoint source), live audio sessions:
@@ -20,7 +24,8 @@ With `--stream_slots N` (checkpoint source), live audio sessions:
   POST /stream/push  {"session_id": .., "audio": [chunk floats]} (or
                      "pcm16_b64": base64 int16 LE PCM)
                      -> {"mu": [v,a,d], "uncertainty": ..,
-                         "calibrated_uncertainty": ..}
+                         "calibrated_uncertainty": .., "expected_abs_error":
+                         .., "serving_channel": .., "deployable_uncertainty": ..}
                      (+ interval_lower/upper under --conformal, as /predict)
   POST /stream/end   {"session_id": ..} -> {"ended": true}
 
