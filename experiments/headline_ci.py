@@ -115,7 +115,9 @@ def main() -> int:
         "epoch (deterministic), the state rolls back, and the run finishes "
         "at CCC 0.966 — the seed-2 row above. Pinned by "
         "`tests/test_trainer.py::TestSpikeBackoff` (rollback + "
-        "disabled-control pair).",
+        "disabled-control pair); root-caused to the step in "
+        "`RESULTS_spike.md` (evidential-NLL 1/(alpha-1) curvature blow-up "
+        "in one DEER head, finite and clip-saturating).",
         "",
         "Per-run JSONs: " + ", ".join(f"`{r['source']}`" for r in runs) + ".",
         "",
