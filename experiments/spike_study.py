@@ -36,39 +36,66 @@ sys.path.insert(0, os.path.dirname(HERE))
 
 
 def module_norms(tree) -> dict:
+    """Per-module L2 norms of a (device) pytree, fetched in ONE round trip.
+
+    Tunnel discipline (CLAUDE.md): every `float(device_value)` is a ~5-30 ms
+    round trip, so the squared sums stay on device and a single
+    `jax.device_get` fetches all modules at once.
+    """
     import jax
     import jax.numpy as jnp
 
-    out = {}
-    for mod, sub in tree.items():
-        sq = sum(
-            float(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+    sq = {
+        mod: sum(
+            jnp.sum(jnp.square(leaf.astype(jnp.float32)))
             for leaf in jax.tree_util.tree_leaves(sub)
         )
-        out[mod] = float(np.sqrt(sq))
-    return out
+        for mod, sub in tree.items()
+    }
+    return {m: float(np.sqrt(v)) for m, v in jax.device_get(sq).items()}
+
+
+_NIG_STATS_JIT: dict = {}
 
 
 def nig_stats(trainer, batch) -> dict:
+    """NIG-parameter range stats via one jitted dispatch + one fetch.
+
+    An unjitted model.apply on a 4096-row batch through the TPU tunnel is
+    op-by-op remote dispatch; the jitted version compiles once (cached per
+    model) and returns all scalars in a single device_get.
+    """
+    import jax
     import jax.numpy as jnp
 
-    out = trainer.model.apply(
-        {"params": trainer.state.params},
-        batch["audio"], batch["video"], batch["text"], deterministic=True,
+    key = id(trainer.model)
+    if key not in _NIG_STATS_JIT:
+        model = trainer.model
+
+        @jax.jit
+        def _stats(params, audio, video, text):
+            out = model.apply(
+                {"params": params}, audio, video, text, deterministic=True
+            )
+            stats = {}
+            for n in model.config.dim_names:
+                p = out[f"{n}_params"]
+                stats[n] = {
+                    "alpha_min": jnp.min(p.alpha),
+                    "alpha_mean": jnp.mean(p.alpha),
+                    "nu_min": jnp.min(p.nu),
+                    "nu_mean": jnp.mean(p.nu),
+                    "beta_max": jnp.max(p.beta),
+                    "beta_mean": jnp.mean(p.beta),
+                    "mu_absmax": jnp.max(jnp.abs(p.mu)),
+                }
+            return stats
+
+        _NIG_STATS_JIT[key] = _stats
+    dev = _NIG_STATS_JIT[key](
+        trainer.state.params, batch["audio"], batch["video"], batch["text"]
     )
-    stats = {}
-    for n in trainer.model.config.dim_names:
-        p = out[f"{n}_params"]
-        stats[n] = {
-            "alpha_min": float(jnp.min(p.alpha)),
-            "alpha_mean": float(jnp.mean(p.alpha)),
-            "nu_min": float(jnp.min(p.nu)),
-            "nu_mean": float(jnp.mean(p.nu)),
-            "beta_max": float(jnp.max(p.beta)),
-            "beta_mean": float(jnp.mean(p.beta)),
-            "mu_absmax": float(jnp.max(jnp.abs(p.mu))),
-        }
-    return stats
+    return jax.tree_util.tree_map(float, jax.device_get(dev))
 
 
 def main(argv=None) -> int:
@@ -127,7 +154,7 @@ def main(argv=None) -> int:
         early_stopping_patience=10**6, val_frequency=10,
         kl_weight=0.01, calibration_alignment_weight=0.15,
         fused_epochs=platform == "tpu",
-        spike_backoff=False,
+        spike_backoff=False, spike_rollback=False,
     )
     trainer = DEERTrainer(model, params, tcfg, steps_per_epoch=steps)
     iters = {
@@ -241,27 +268,35 @@ def main(argv=None) -> int:
         pre_norms = module_norms(trainer.state.params)
         # Per-module PRE-CLIP gradient norms on the exact step rng.
         rng = jax.random.split(trainer.state.dropout_rng)[0]
-        (loss_val, aux0), grads = jax.value_and_grad(
-            trainer._loss_fn, has_aux=True
+        # Jitted value_and_grad (one dispatch); grads STAY on device for
+        # module_norms' single-fetch norm computation — round-tripping the
+        # full grad tree to host and redoing eager jnp math on numpy would
+        # pay a tunnel round trip per op.
+        (loss_val, aux0), grads = jax.jit(
+            jax.value_and_grad(trainer._loss_fn, has_aux=True)
         )(trainer.state.params, batch, rng, weight)
-        gmod = module_norms(jax.device_get(grads))
+        gmod = module_norms(grads)
         gtot = float(np.sqrt(sum(v * v for v in gmod.values())))
         pre_state = trainer._copy_state(trainer.state)
         trainer.state, aux1 = trainer._train_step(
             trainer.state, batch, weight, lr_scale
         )
         post_nig = nig_stats(trainer, batch)
-        delta = {
-            mod: float(np.sqrt(sum(
-                float(jnp.sum(jnp.square(
-                    (a.astype(jnp.float32) - b.astype(jnp.float32))
-                )))
+        delta_sq = {
+            mod: sum(
+                jnp.sum(jnp.square(
+                    a.astype(jnp.float32) - b.astype(jnp.float32)
+                ))
                 for a, b in zip(
                     jax.tree_util.tree_leaves(trainer.state.params[mod]),
                     jax.tree_util.tree_leaves(pre_state.params[mod]),
                 )
-            )))
+            )
             for mod in trainer.state.params
+        }
+        delta = {
+            mod: float(np.sqrt(v))
+            for mod, v in jax.device_get(delta_sq).items()
         }
         dissect = {
             "step": s_star,
@@ -296,7 +331,8 @@ def main(argv=None) -> int:
         "",
         f"- {payload['replay']['n_steps']} steps; first bad step "
         f"**{payload['replay']['first_bad_step']}**, "
-        f"{payload['replay']['n_bad_steps']} steps above baseline+0.5",
+        f"{payload['replay']['n_bad_steps']} bad steps (loss > opening-"
+        "median+0.3 OR grad norm > 20x opening median)",
         f"- per-step loss range [{payload['replay']['loss_min']:+.3f}, "
         f"{payload['replay']['loss_max']:+.3f}]; grad-norm median "
         f"{payload['replay']['grad_norm_median']:.2f}, max "

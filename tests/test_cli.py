@@ -215,6 +215,20 @@ class TestRecipe:
         with open(backed) as f:
             assert "uncertainty" in f.read()
 
+    def test_spike_rollback_plumbed_from_config(self, tmp_path):
+        """training.spike_rollback reaches TrainingConfig (a YAML 'false'
+        must actually disable the ~4x-param-bytes snapshot on HBM-tight
+        wide runs, not be silently ignored)."""
+        pipeline = MultimodalDEERPipeline(
+            output_dir=str(tmp_path), experiment_name="sr", quick=True,
+            overrides={"training.spike_rollback": False},
+        )
+        pipeline.create_model()
+        pipeline.create_datasets()
+        pipeline.create_trainer()
+        assert pipeline.training_config.spike_rollback is False
+        assert pipeline.training_config.spike_backoff is True
+
     def test_unknown_recipe_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="unknown recipe"):
             MultimodalDEERPipeline(

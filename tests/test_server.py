@@ -158,6 +158,34 @@ class TestServer:
             urllib.request.urlopen(url + "/nope", timeout=30)
         assert e.value.code == 404
 
+    def test_pre_upgrade_artifact_still_honors_contract(self, tmp_path):
+        """A 3-output artifact exported before the E|err| channel existed
+        must still serve a present, honestly-labeled deployable_uncertainty
+        (fallback: calibrated), not silently omit the documented keys."""
+        model, params = create_complete_deer_model(SMALL, seed=0)
+        art = str(tmp_path / "old_art")
+        export_inference(model, params, art, batch_buckets=(4,))
+        # Rewind the manifest to the pre-upgrade shape: no E|err| output,
+        # no serving_channel selection recorded.
+        mpath = art + "/manifest.json"
+        with open(mpath) as f:
+            manifest = json.load(f)
+        manifest["outputs"] = [
+            n for n in manifest["outputs"] if n != "expected_abs_error"
+        ]
+        manifest.pop("serving_channel", None)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        service = PredictionService.from_exported(art)
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((2, 16)).tolist()
+        out = service.predict_json(
+            {"audio": feats, "video": feats, "text": feats}
+        )
+        assert "expected_abs_error" not in out
+        assert out["serving_channel"] == "calibrated"
+        assert out["deployable_uncertainty"] == out["calibrated_uncertainty"]
+
 
 class _FakeEngine:
     """Records per-dispatch batch sizes; returns row-identifying outputs."""

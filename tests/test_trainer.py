@@ -197,6 +197,46 @@ class TestTraining:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_resume_serving_channel_from_best_not_latest(self, tmp_path):
+        """Every save carries best_serving_channel explicitly (like
+        best_ccc): a periodic NON-best save's own "serving_channel" is that
+        epoch's selection, and a resume seeded from it would desynchronize
+        pipeline_summary.json from the best checkpoint's metadata."""
+        train, val = _datasets()
+        trainer, cfg = _trainer(num_epochs=2, save_frequency=1)
+        # Epoch 0 is best (ccc 0.9) and selects "calibrated"; epoch 1 is a
+        # non-best periodic save whose own selection flips to "eabs".
+        script = [("calibrated", 0.9), ("eabs", 0.5)]
+        orig_validate = trainer.validate_epoch
+
+        def fake_validate(val_iters, use_ema=None):
+            res = orig_validate(val_iters, use_ema)
+            ch, ccc = script[min(fake_validate.calls, len(script) - 1)]
+            fake_validate.calls += 1
+            res["serving_channel"] = ch
+            res["ccc_average"] = ccc
+            return res
+
+        fake_validate.calls = 0
+        trainer.validate_epoch = fake_validate
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        r1 = trainer.train(train, val, checkpoints=ckpt)
+        assert r1["serving_channel"] == "calibrated"
+        assert (
+            ckpt.metadata("best")["metrics"]["serving_channel"] == "calibrated"
+        )
+        # The latest save is the non-best epoch-1 one: its per-epoch channel
+        # differs, but it still records the best epoch's selection.
+        latest = ckpt.metadata()["metrics"]
+        assert latest["serving_channel"] == "eabs"
+        assert latest["best_serving_channel"] == "calibrated"
+        # Crash-restart resume that finds no new best must report the best
+        # checkpoint's channel, not the latest save's.
+        model, params = create_complete_deer_model(SMALL_MODEL, seed=7)
+        trainer2 = DEERTrainer(model, params, cfg, steps_per_epoch=4)
+        r2 = trainer2.train(train, val, checkpoints=ckpt, resume=True)
+        assert r2["serving_channel"] == "calibrated"
+
     def test_best_checkpoint_tracked(self, tmp_path):
         train, val = _datasets()
         trainer, _ = _trainer(num_epochs=4)
@@ -484,11 +524,34 @@ class TestSpikeBackoff:
         assert trainer._spike_update(2.0)  # jump out of the negative basin
 
     def test_disabled_by_config(self):
-        trainer, _ = _trainer(spike_backoff=False)
+        """Both recovery knobs off => the detector never runs."""
+        trainer, _ = _trainer(spike_backoff=False, spike_rollback=False)
         for loss in [5.0, 4.0, 3.5, 3.2]:
             trainer._spike_update(loss)
         assert not trainer._spike_update(float("inf"))
         assert trainer._spike_scale == 1.0
+
+    def test_rollback_only_still_detects(self):
+        """spike_rollback works WITHOUT spike_backoff: the detector fires
+        (so rollback can trigger) while the lr scale stays pinned at 1.0.
+        Previously detection was gated on spike_backoff alone, silently
+        disabling rollback-only configurations."""
+        trainer, _ = _trainer(spike_backoff=False, spike_rollback=True)
+        for loss in [5.0, 4.0, 3.5, 3.2]:
+            assert not trainer._spike_update(loss)
+        assert trainer._spike_update(float("inf"))
+        assert trainer._spike_update(50.0)
+        assert trainer._spike_scale == 1.0  # no backoff in rollback-only
+
+    def test_rollback_only_takes_snapshots(self):
+        """The best-validation snapshot is captured under rollback-only
+        configs too (the old gate required spike_backoff as well)."""
+        train, val = _datasets()
+        trainer, _ = _trainer(
+            num_epochs=1, spike_backoff=False, spike_rollback=True
+        )
+        trainer.train(train, val)
+        assert trainer._best_state is not None
 
     def test_backoff_scale_reaches_the_step(self):
         """train_epoch must fold the spike scale into the jitted step's

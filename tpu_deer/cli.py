@@ -265,6 +265,7 @@ class MultimodalDEERPipeline:
             grad_accum_steps=int(t.get("grad_accum_steps", 1)),
             param_sharding=t.get("param_sharding", "tp"),
             spike_backoff=bool(t.get("spike_backoff", True)),
+            spike_rollback=bool(t.get("spike_rollback", True)),
             ema_decay=float(t.get("ema_decay", 0.0)),
             ema_eval=bool(t.get("ema_eval", False)),
             seed=self.seed,

@@ -8,11 +8,14 @@ standard library:
   POST /predict   {"audio": [[..84..]], "video": [[..256..]], "text": [[..768..]]}
                   -> {"mu": [[v,a,d]..], "uncertainty": ..,
                       "calibrated_uncertainty": .., "expected_abs_error": ..,
-                      "serving_channel": "calibrated"|"eabs",
+                      "serving_channel": "calibrated"|"eabs"|"variance",
                       "deployable_uncertainty": ..}
                   (serving_channel = the channel the trainer selected by
                    validation ECE at checkpoint time; deployable_uncertainty
-                   aliases it. + interval_lower/interval_upper/interval_alpha
+                   aliases it and is always present — a pre-upgrade exported
+                   artifact missing the selected channel's output falls back
+                   to the best channel it carries, reported honestly, with
+                   "variance" = the raw NIG uncertainty as last resort. + interval_lower/interval_upper/interval_alpha
                    when the server is started with --conformal <quantile
                    json> — split conformal intervals with 1-alpha marginal
                    coverage, widths scaled per sample by the NIG uncertainty)
@@ -661,13 +664,24 @@ class PredictionService:
         # at checkpoint time (validation ECE); "deployable_uncertainty"
         # aliases that channel so clients need no mapping logic.
         channel = getattr(self.engine, "serving_channel", "eabs")
-        resp["serving_channel"] = channel
         alias = (
             "calibrated_uncertainty" if channel == "calibrated"
             else "expected_abs_error"
         )
-        if alias in resp:
-            resp["deployable_uncertainty"] = resp[alias]
+        if alias not in resp:
+            # Pre-upgrade exported artifacts (3-output manifests) may lack
+            # the selected channel's output. Fall back to the best channel
+            # the artifact actually carries — and report THAT as
+            # serving_channel — so deployable_uncertainty is always present
+            # (the /predict contract) and never mislabeled.
+            for channel, alias in (
+                ("calibrated", "calibrated_uncertainty"),
+                ("variance", "uncertainty"),
+            ):
+                if alias in resp:
+                    break
+        resp["serving_channel"] = channel
+        resp["deployable_uncertainty"] = resp[alias]
         return self.attach_intervals(resp)
 
     def attach_intervals(self, resp: dict) -> dict:

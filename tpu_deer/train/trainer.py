@@ -125,6 +125,9 @@ class TrainingConfig:
     # 0.460 with no recovery. Costs one device-resident copy of the train
     # state, refreshed at best-validation events (~4x param bytes; at
     # width-8/234M that is ~3.7 GB — disable there if HBM-tight).
+    # Independent of spike_backoff: the detector runs when either knob is
+    # on, so rollback-only (spike_backoff=False) still snapshots/restores,
+    # with the lr scale pinned at 1.0.
     spike_rollback: bool = True
     # PRNG implementation for dropout bits. "rbg" uses the TPU's
     # hardware-backed generator; threefry2x32 is ALU-heavy and, measured at
@@ -939,7 +942,16 @@ class DEERTrainer:
             meta = checkpoints.metadata()
             start_epoch = int(meta["metrics"].get("epoch", 0)) + 1
             best_ccc = float(meta["metrics"].get("best_ccc", -np.inf))
-            best_serving_channel = meta["metrics"].get("serving_channel", "eabs")
+            # Every save records best_serving_channel explicitly (like
+            # best_ccc): a periodic non-best save's own "serving_channel"
+            # is that epoch's selection, not the best epoch's, and seeding
+            # from it would desynchronize the resumed run's summary from
+            # the best checkpoint's metadata. Fall back to the per-epoch
+            # key only for pre-upgrade checkpoints.
+            best_serving_channel = meta["metrics"].get(
+                "best_serving_channel",
+                meta["metrics"].get("serving_channel", "eabs"),
+            )
 
         patience = 0
         t0 = time.time()
@@ -987,7 +999,7 @@ class DEERTrainer:
                     best_ccc = val["ccc_average"]
                     best_serving_channel = val["serving_channel"]
                     patience = 0
-                    if cfg.spike_backoff and cfg.spike_rollback:
+                    if cfg.spike_rollback:
                         self._best_state = self._copy_state(self.state)
                 else:
                     patience += 1
@@ -998,7 +1010,12 @@ class DEERTrainer:
                     checkpoints.save(
                         self.state,
                         step=int(self.state.step),
-                        metrics={"epoch": epoch, "best_ccc": best_ccc, **val},
+                        metrics={
+                            "epoch": epoch,
+                            "best_ccc": best_ccc,
+                            "best_serving_channel": best_serving_channel,
+                            **val,
+                        },
                         is_best=is_best,
                     )
 
@@ -1038,7 +1055,10 @@ class DEERTrainer:
         means the lr is too high for the loss surface.
         """
         cfg = self.config
-        if not cfg.spike_backoff or loss is None:
+        # Detection runs when EITHER recovery mechanism wants it: backoff
+        # shrinks the lr, rollback restores the best snapshot — each works
+        # alone (rollback-only keeps lr scale pinned at 1.0).
+        if loss is None or not (cfg.spike_backoff or cfg.spike_rollback):
             return False
         hist = self._spike_history
         spiked = False
@@ -1053,13 +1073,17 @@ class DEERTrainer:
             sigma = max(1.4826 * mad, 0.05 * abs(med), 1e-3)
             spiked = loss > med + cfg.spike_threshold * sigma
         if spiked:
-            self._spike_scale = max(
-                self._spike_scale * cfg.spike_backoff_factor, 1e-3
-            )
+            if cfg.spike_backoff:
+                self._spike_scale = max(
+                    self._spike_scale * cfg.spike_backoff_factor, 1e-3
+                )
         else:
             hist.append(float(loss))
             del hist[: -cfg.spike_window]
-            self._spike_scale = min(self._spike_scale * cfg.spike_recovery, 1.0)
+            if cfg.spike_backoff:
+                self._spike_scale = min(
+                    self._spike_scale * cfg.spike_recovery, 1.0
+                )
         return spiked
 
     def _plateau_update(self, metric: float):
