@@ -44,6 +44,7 @@ def _tcfg(**kw):
         # draws differ from unbatched ones — documented JAX behavior), so
         # member-vs-independent trajectory equality (float32 batching tolerance) is pinned under threefry.
         spike_backoff=False,
+        spike_rollback=False,  # rollback is now detector-independent too
         rng_impl="threefry2x32",
         seed=0,
     )
